@@ -1,0 +1,79 @@
+"""Point-in-time feature-vector backfill.
+
+The batch analogue of the reference's online request mode (survey
+§3.2): instead of one request row triggering a point-in-time window
+over stored history, we compute the feature vector at EVERY
+(entity, anchor-ts) row of the primary table — identical semantics,
+one distributed pass. Zero temporal leakage by construction: every
+frame only contains rows with ``ts <= anchor`` (strict under
+EXCLUDE CURRENT_TIME / OPEN), which tests assert.
+
+A backfill = optional as-of enrichment (LAST JOIN dimension tables) +
+one multi-feature window pass (+ optional WINDOW UNION history tables)
++ optional sessionization — composed from the engine's operators so the
+whole plan stays lazy and Catalyst-optimizable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+from openmldb_spark.operators.last_join import last_join
+from openmldb_spark.operators.sessionize import sessionize
+from openmldb_spark.operators.window import Agg, WindowSpec, window_agg
+
+__all__ = ["AsOfSource", "FeatureWindow", "backfill_features"]
+
+
+@dataclass
+class AsOfSource:
+    """A dimension table joined point-in-time (LAST JOIN)."""
+
+    df: DataFrame
+    on: list[str]
+    right_ts: str
+    prefix: str | None = None
+    how: str = "auto"
+
+
+@dataclass
+class FeatureWindow:
+    """One window spec + the aggregates computed over it."""
+
+    spec: WindowSpec
+    aggs: list[Agg]
+    union: list[DataFrame] | None = None
+    impl: str = "auto"
+
+
+def backfill_features(
+    primary: DataFrame,
+    anchor_ts: str,
+    windows: list[FeatureWindow],
+    asof: list[AsOfSource] | None = None,
+    session_key: str | list[str] | None = None,
+    session_gap: float = 1800.0,
+    session_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Compute the full feature vector at every primary row."""
+    out = primary
+    for src in asof or []:
+        out = last_join(
+            out,
+            src.df,
+            on=src.on,
+            order_by=src.right_ts,
+            asof_left_ts=anchor_ts,
+            asof_right_ts=src.right_ts,
+            how=src.how,
+            right_prefix=src.prefix,
+        )
+    for fw in windows:
+        out = window_agg(out, fw.spec, fw.aggs, union=fw.union, impl=fw.impl)
+    if session_key is not None:
+        out = sessionize(
+            out, session_key, anchor_ts, gap=session_gap, tiebreak=session_tiebreak
+        )
+    return out
