@@ -119,10 +119,10 @@ def _rownum_join(left, right, keys, order_by, condition,
 
     order_exprs = []
     if order_by:
-        order_exprs.append(joined[m[order_by]].desc_nulls_last())
+        order_exprs.append(right2[m[order_by]].desc_nulls_last())
     # deterministic tie-break at equal order keys: every right column desc
     order_exprs.extend(
-        joined[m[c]].desc_nulls_last() for c in right.columns if c != order_by
+        right2[m[c]].desc_nulls_last() for c in right.columns if c != order_by
     )
     w = Window.partitionBy(_LIDX).orderBy(*order_exprs)
     out = (
@@ -157,7 +157,11 @@ def _merge_asof_join(left, right, keys, lts, rts, strict, right_prefix):
 
     def merge(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
         if not len(ldf):
-            return pd.DataFrame({c: [] for c in left_cols + right_val_cols})
+            # keep the Arrow-derived dtypes so empty groups round-trip
+            out = ldf.copy()
+            for c in right_val_cols:
+                out[c] = rdf[c].head(0)
+            return out[left_cols + right_val_cols]
         lsorted = ldf.sort_values(lts, kind="mergesort")
         null_ts = lsorted[lts].isna()
         lsorted = pd.concat([lsorted[~null_ts], lsorted[null_ts]])

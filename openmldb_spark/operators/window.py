@@ -591,8 +591,10 @@ def _kernel_window_agg(
         # drop NULL-order-key rows entirely (WindowAggPlan.scala:788-795)
         pdf = pdf[pdf[order_col].notna()]
         if not len(pdf):
-            empty = {c: pd.Series(dtype=object) for c in out_cols + [a.name for a in aggs_b]}
-            return pd.DataFrame(empty)
+            out = pdf[out_cols].copy()
+            for a in aggs_b:
+                out[a.name] = pd.Series(dtype=object)
+            return out
         sort_keys = [order_col, _EMIT] + tiebreak
         pdf = pdf.sort_values(sort_keys, kind="mergesort").reset_index(drop=True)
         ok = _to_order_int64(pdf[order_col])
