@@ -1,0 +1,140 @@
+"""Hot-key skew mitigation for per-key ordered window aggregation.
+
+Reimplements the reference's window skew optimization
+(``java/openmldb-batch/.../nodes/WindowAggPlan.scala:201-316`` +
+``utils/SkewDataFrameUtils.scala``; survey §4.3) with native Spark
+primitives:
+
+1. **Detect** hot keys by per-key row counts (partial-aggregated, one
+   pass; the result is tiny and broadcast back).
+2. **Slice** each hot key's timeline into ``q`` buckets by
+   ``percentile_approx`` of the order key (time-quantile salting).
+3. **Expand** context: each bucket i also receives the *frame-relevant*
+   suffix of earlier buckets — bounded by the frame extent when finite
+   (ROWS n → n newest rows per earlier bucket; ROWS_RANGE o → rows
+   within o ms of the bucket boundary), full history only for unbounded
+   frames — tagged ``emit=false`` so they buffer into frames but are
+   never emitted (reference: ``expandedFlag``,
+   ``WindowAggPlan.scala:531-541``).
+4. **Compute** per (key, bucket) with the same kernel as window_agg.
+
+AQE's skew handling cannot fix per-key *ordered window* skew (the whole
+key must otherwise be seen by one task), so this operator is what keeps
+a 10%-hot-conversation transcript table scalable at 10^12 turns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from openmldb_spark.operators.window import (
+    _EMIT,
+    Agg,
+    WindowSpec,
+    make_kernel,
+    result_schema,
+    with_flags,
+)
+
+__all__ = ["window_agg_skewed"]
+
+_BUCKET = "__skew_bucket__"
+
+
+def _order_ms_expr(df: DataFrame, order_by: str):
+    dt = df.schema[order_by].dataType
+    if isinstance(dt, T.TimestampType):
+        return (F.unix_micros(F.col(order_by)) / 1000).cast("long")
+    return F.col(order_by).cast("long")
+
+
+def window_agg_skewed(
+    df: DataFrame,
+    spec: WindowSpec,
+    aggs: list[Agg],
+    quantiles: int = 4,
+    hot_threshold: int = 100_000,
+    union: list[DataFrame] | None = None,
+) -> DataFrame:
+    """``window_agg(impl='kernel')`` with time-quantile salting of hot
+    keys; output identical, physical partitioning finer for hot keys."""
+    keys = list(spec.partition_by)
+
+    work = with_flags(df, union).withColumn("__oms__", _order_ms_expr(df, spec.order_by))
+
+    # 1. distribution analysis (tiny result, broadcast back)
+    probs = [i / quantiles for i in range(1, quantiles)]
+    dist = (
+        work.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("__n__"),
+            F.percentile_approx("__oms__", probs, 10_000).alias("__qs__"),
+        )
+        .filter(F.col("__n__") >= hot_threshold)
+        .select(*keys, "__qs__")
+    )
+
+    tagged = work.join(F.broadcast(dist), on=keys, how="left")
+
+    # 2. bucket id = #quantile boundaries strictly below the order key
+    # (cold keys → bucket 0). Same-ts rows always share a bucket.
+    bucket = F.when(F.col("__qs__").isNull(), F.lit(0)).otherwise(
+        F.aggregate(
+            F.col("__qs__"),
+            F.lit(0),
+            lambda acc, q: acc + F.when(F.col("__oms__") > q, 1).otherwise(0),
+        )
+    )
+    tagged = tagged.withColumn(_BUCKET, bucket.cast("int"))
+
+    # 3. context expansion (emit=0 copies into later buckets)
+    copies = []
+    if spec.preceding is None:
+        for i in range(1, quantiles):
+            copies.append(
+                tagged.filter(F.col("__qs__").isNotNull() & (F.col(_BUCKET) < i))
+                .withColumn(_BUCKET, F.lit(i))
+                .withColumn(_EMIT, F.lit(0))
+            )
+    elif spec.frame == "rows_range":
+        ext = int(spec.preceding)
+        for i in range(1, quantiles):
+            qi = F.element_at(F.col("__qs__"), i)  # boundary below bucket i
+            copies.append(
+                tagged.filter(
+                    F.col("__qs__").isNotNull()
+                    & (F.col(_BUCKET) < i)
+                    & (F.col("__oms__") >= qi - F.lit(ext))
+                )
+                .withColumn(_BUCKET, F.lit(i))
+                .withColumn(_EMIT, F.lit(0))
+            )
+    else:  # ROWS n: the n newest rows of each earlier bucket suffice
+        from pyspark.sql import Window as W
+
+        n_rows = int(spec.preceding)
+        wdesc = W.partitionBy(*keys, _BUCKET).orderBy(
+            F.col("__oms__").desc(), *[F.col(c).desc() for c in spec.tiebreak]
+        )
+        ranked = tagged.filter(F.col("__qs__").isNotNull()).withColumn(
+            "__rk__", F.row_number().over(wdesc)
+        )
+        for i in range(1, quantiles):
+            copies.append(
+                ranked.filter((F.col(_BUCKET) < i) & (F.col("__rk__") <= n_rows))
+                .drop("__rk__")
+                .withColumn(_BUCKET, F.lit(i))
+                .withColumn(_EMIT, F.lit(0))
+            )
+    expanded = tagged
+    for c in copies:
+        expanded = expanded.unionByName(c)
+    expanded = expanded.drop("__qs__", "__oms__")
+
+    # 4. per-(key, bucket) kernel — identical kernel, finer grouping
+    out_cols = list(df.columns)
+    result_fields, out_schema = result_schema(df, aggs)
+    kernel = make_kernel(spec, aggs, out_cols, result_fields)
+    return expanded.groupBy(*keys, _BUCKET).applyInPandas(kernel, schema=out_schema)

@@ -59,6 +59,7 @@ from pyspark.sql import types as T
 __all__ = ["WindowSpec", "Agg", "window_agg"]
 
 _EMIT = "__emit__"
+_UNION = "__union__"
 
 # ---------------------------------------------------------------------------
 # spec dataclasses
@@ -555,36 +556,30 @@ def _eval_positional(agg: Agg, pdf: pd.DataFrame, lo, seg_hi, inc_cur) -> pd.Ser
     raise AssertionError(agg.func)
 
 
-def _kernel_window_agg(
-    df: DataFrame,
-    spec: WindowSpec,
-    aggs: list[Agg],
-    union: list[DataFrame] | None,
-) -> DataFrame:
-    out_cols = list(df.columns)
+def result_schema(df: DataFrame, aggs: list[Agg]) -> tuple[list, T.StructType]:
+    """(result fields, full output schema) for a kernel over ``df``."""
     in_schema = df.schema
     result_fields = [
         T.StructField(a.name, _result_type(a, in_schema[a.col].dataType if a.col else T.LongType()), True)
         for a in aggs
     ]
-    out_schema = T.StructType(list(in_schema.fields) + result_fields)
+    return result_fields, T.StructType(list(in_schema.fields) + result_fields)
 
-    work = df.withColumn(_EMIT, F.lit(1))
-    if union:
-        for u in union:
-            # pad columns the union table lacks with NULLs (reference:
-            # WindowAggPlanUtil.scala:50-117)
-            cols = [
-                (F.col(c) if c in u.columns else F.lit(None).cast(in_schema[c].dataType)).alias(c)
-                for c in out_cols
-            ]
-            work = work.unionByName(u.select(*cols).withColumn(_EMIT, F.lit(0)))
 
+def make_kernel(spec: WindowSpec, aggs: list[Agg], out_cols: list[str], result_fields: list):
+    """Build the per-group pandas kernel (shared by window_agg and the
+    skew-salted variant in skew.py).
+
+    Input groups must carry two int flag columns: ``__emit__`` (1 → row
+    is emitted with features) and ``__union__`` (1 → row originates
+    from a WINDOW UNION secondary table). They differ under skew
+    expansion, where context copies of primary rows have emit=0 but
+    union=0.
+    """
     order_col = spec.order_by
     tiebreak = list(spec.tiebreak)
     spec_b = spec  # captured by closure (plain dataclass, picklable)
     aggs_b = list(aggs)
-    has_union = bool(union)
     long_cols = [f.name for f in result_fields if isinstance(f.dataType, T.LongType)]
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -595,7 +590,10 @@ def _kernel_window_agg(
             for a in aggs_b:
                 out[a.name] = pd.Series(dtype=object)
             return out
-        sort_keys = [order_col, _EMIT] + tiebreak
+        # union rows buffer BEFORE primary rows at equal order keys
+        # (WindowAggPlan.scala:78-84): sort by (order, 1-union, tiebreak)
+        pdf = pdf.assign(__prim__=1 - pdf[_UNION].to_numpy())
+        sort_keys = [order_col, "__prim__"] + tiebreak
         pdf = pdf.sort_values(sort_keys, kind="mergesort").reset_index(drop=True)
         ok = _to_order_int64(pdf[order_col])
         emit = pdf[_EMIT].to_numpy() == 1
@@ -603,7 +601,7 @@ def _kernel_window_agg(
 
         # INSTANCE_NOT_IN_WINDOW: non-current primary rows never enter
         # anyone's frame segment (current row stays eligible via inc_cur)
-        inw_mask = (~emit) if (spec_b.instance_not_in_window and has_union) else None
+        inw_mask = (pdf[_UNION].to_numpy() == 1) if spec_b.instance_not_in_window else None
 
         res: dict[str, object] = {}
         for a in aggs_b:
@@ -649,4 +647,36 @@ def _kernel_window_agg(
             out[c] = pd.to_numeric(out[c], errors="coerce").astype("Int64")
         return out
 
+    return kernel
+
+
+def with_flags(df: DataFrame, union: list[DataFrame] | None, template: DataFrame | None = None) -> DataFrame:
+    """Primary rows get (emit=1, union=0); union-table rows (0, 1),
+    padding columns the union table lacks with NULLs (reference:
+    WindowAggPlanUtil.scala:50-117)."""
+    template = template or df
+    out_cols = list(template.columns)
+    in_schema = template.schema
+    work = df.withColumn(_EMIT, F.lit(1)).withColumn(_UNION, F.lit(0))
+    for u in union or []:
+        cols = [
+            (F.col(c) if c in u.columns else F.lit(None).cast(in_schema[c].dataType)).alias(c)
+            for c in out_cols
+        ]
+        work = work.unionByName(
+            u.select(*cols).withColumn(_EMIT, F.lit(0)).withColumn(_UNION, F.lit(1))
+        )
+    return work
+
+
+def _kernel_window_agg(
+    df: DataFrame,
+    spec: WindowSpec,
+    aggs: list[Agg],
+    union: list[DataFrame] | None,
+) -> DataFrame:
+    out_cols = list(df.columns)
+    result_fields, out_schema = result_schema(df, aggs)
+    work = with_flags(df, union)
+    kernel = make_kernel(spec, aggs, out_cols, result_fields)
     return work.groupBy(*spec.partition_by).applyInPandas(kernel, schema=out_schema)
