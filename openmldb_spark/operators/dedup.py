@@ -1,0 +1,281 @@
+"""Deduplication operators for training-data pipelines.
+
+Each operator is declarative DataFrame composition: shingling /
+hashing / banding / bucket-join all stay in native Spark expressions,
+so Catalyst handles pushdown and AQE handles the bucket-join skew.
+Scale notes per operator; nothing collects to the driver.
+
+- ``exact_dedup`` — hash-groupBy on a normalized fingerprint.
+- ``minhash_dedup`` — shingle → k minhashes → LSH bands → bucket join
+  → candidate pairs (verified with exact n-gram Jaccard).
+- ``simhash`` / ``simhash_dedup`` — 64-bit weighted-majority token
+  hash; near-dup when hamming distance ≤ k (bucketed by rotation).
+- ``ngram_jaccard_pairs`` — exact Jaccard over shingle sets via
+  explode + self-join (quadratic per shingle bucket; the verification
+  primitive, not the discovery path at scale).
+- ``embedding_cosine_dedup`` — random-hyperplane LSH buckets over an
+  embedding column, verify cosine ≥ threshold.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from openmldb_spark.operators.text import fingerprint
+
+__all__ = [
+    "exact_dedup",
+    "shingles",
+    "minhash_signature",
+    "minhash_dedup",
+    "simhash",
+    "simhash_dedup",
+    "ngram_jaccard_pairs",
+    "embedding_cosine_dedup",
+]
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                normalized: bool = True) -> DataFrame:
+    """Keep exactly one row (min id) per identical document.
+
+    ``normalized=True`` dedups on the casefolded/punct-stripped
+    fingerprint; False on raw text equality. Single hash-shuffle on the
+    fingerprint — the 100 TB-scale exact-dedup plan."""
+    key = fingerprint(text_col) if normalized else F.col(text_col)
+    w = Window.partitionBy(key).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+
+
+def shingles(col, n: int = 3, words: bool = True) -> Column:
+    """Distinct n-gram shingle array (word n-grams by default)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if words:
+        toks = F.split(F.trim(F.lower(F.regexp_replace(c, r"[^\w\s]", ""))), r"\s+")
+    else:
+        toks = F.split(F.lower(c), "")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    )
+    return F.array_distinct(F.filter(grams, lambda g: F.length(g) > 0))
+
+
+def _minhash_one(shingle_col: Column, seed_i: int) -> Column:
+    # helper freezes seed_i: a 2-arg lambda in F.transform would receive
+    # the array index as its second argument
+    return F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(seed_i))))
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 64, seed: int = 42) -> Column:
+    """array<bigint> of k minhashes: min over xxhash64(shingle, seed_i)."""
+    return F.array(*[_minhash_one(shingle_col, seed + i) for i in range(num_hashes)])
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash + LSH banding,
+    verified with exact shingle Jaccard.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b. Scale shape: the
+    only shuffles are the band-bucket groupBys (bounded fan-out:
+    bands × docs rows) and the verify join; no driver materialization.
+    """
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("__id__"),
+        shingles(text_col, n=shingle_n).alias("__sh__"),
+    ).filter(F.size("__sh__") > 0)
+    sig = base.withColumn("__sig__", minhash_signature(F.col("__sh__"), num_hashes, seed))
+
+    band_cols = [
+        F.xxhash64(F.array_join(
+            F.transform(F.slice("__sig__", b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string")), ","), F.lit(b)).alias("__band__")
+        for b in range(bands)
+    ]
+    banded = sig.select("__id__", "__sh__", F.explode(F.array(*band_cols)).alias("__band__"))
+
+    # candidate pairs: docs sharing any band bucket
+    a = banded.select(F.col("__id__").alias("id_a"), F.col("__sh__").alias("__sha__"), "__band__")
+    b = banded.select(F.col("__id__").alias("id_b"), F.col("__sh__").alias("__shb__"), "__band__")
+    pairs = (
+        a.join(b, "__band__")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__sha__", "__shb__")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("__sha__", "__shb__")).cast("double")
+    uni = F.size(F.array_union("__sha__", "__shb__")).cast("double")
+    return (
+        pairs.withColumn("jaccard", inter / uni)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(col, seed: int = 42) -> Column:
+    """64-bit SimHash over word tokens, fully native: per token one
+    xxhash64; per bit a weighted majority via explode-free bit sums."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.regexp_replace(c, r"[^\w\s]", ""))), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    hashes = F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed)))
+    n = F.size(toks)
+
+    def bit_expr(bit: int) -> Column:
+        # helper freezes `bit` (a default-arg lambda would gain a 3rd
+        # parameter and break F.aggregate's 2-arg merge contract)
+        ones = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.shiftright(h, bit).bitwiseAND(F.lit(1)).cast("int"),
+        )
+        # majority of token hashes with the bit set → simhash bit set
+        return F.shiftleft((ones * 2 > n).cast("long"), bit)
+
+    out = bit_expr(0)
+    for b in range(1, 64):
+        out = out.bitwiseOR(bit_expr(b))
+    return out
+
+
+def _popcount(col: Column) -> Column:
+    return F.bit_count(col)
+
+
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs with simhash hamming distance ≤ max_hamming.
+
+    Bucketing: split the 64-bit hash into (max_hamming+1) segments —
+    two docs within distance k must agree exactly on ≥1 segment
+    (pigeonhole), so candidates = same-segment-value pairs. Shuffle
+    cost: (k+1) buckets per doc.
+    """
+    nseg = max_hamming + 1
+    seg_bits = 64 // nseg
+    h = df.select(F.col(id_col).alias("__id__"), simhash(text_col, seed).alias("__h__"))
+    segs = [
+        F.struct(
+            F.lit(i).alias("seg"),
+            F.shiftright(F.col("__h__"), i * seg_bits)
+            .bitwiseAND(F.lit((1 << seg_bits) - 1)).alias("val"),
+        )
+        for i in range(nseg)
+    ]
+    banded = h.select("__id__", "__h__", F.explode(F.array(*segs)).alias("__seg__"))
+    a = banded.select(F.col("__id__").alias("id_a"), F.col("__h__").alias("__ha__"), "__seg__")
+    b = banded.select(F.col("__id__").alias("id_b"), F.col("__h__").alias("__hb__"), "__seg__")
+    pairs = (
+        a.join(b, "__seg__")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__ha__", "__hb__")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dist = _popcount(F.col("__ha__").bitwiseXOR(F.col("__hb__")))
+    return (
+        pairs.withColumn("hamming", dist.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs via shingle explode +
+    self-join. Exact but quadratic within shared-shingle buckets — use
+    minhash_dedup for discovery at scale, this for verification."""
+    sh = df.select(F.col(id_col).alias("__id__"), shingles(text_col, n=n).alias("__sh__"))
+    sh = sh.filter(F.size("__sh__") > 0).withColumn("__n__", F.size("__sh__"))
+    ex = sh.select("__id__", "__n__", F.explode("__sh__").alias("__g__"))
+    a = ex.select(F.col("__id__").alias("id_a"), F.col("__n__").alias("na"), "__g__")
+    b = ex.select(F.col("__id__").alias("id_b"), F.col("__n__").alias("nb"), "__g__")
+    inter = (
+        a.join(b, "__g__")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("__i__"))
+    )
+    jac = F.col("__i__") / (F.col("na") + F.col("nb") - F.col("__i__"))
+    return (
+        inter.withColumn("jaccard", jac.cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def embedding_cosine_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Near-dup embedding pairs: random-hyperplane LSH sign-bucket +
+    exact cosine verification. Planes are a deterministic driver-side
+    constant (n_planes × dim floats) shipped as literals — no UDF."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+
+    def dot_with_plane(v: Column, p: np.ndarray) -> Column:
+        arr = F.array(*[F.lit(float(x)) for x in p])
+        return F.aggregate(
+            F.zip_with(v, arr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    v = F.col(vec_col).cast("array<double>")
+    sig = None
+    for i in range(n_planes):
+        bit = (dot_with_plane(v, planes[i]) > 0).cast("long")
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    norm = F.sqrt(F.aggregate(F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x))
+
+    h = df.select(F.col(id_col).alias("__id__"), v.alias("__v__"), sig.alias("__b__"), norm.alias("__n__"))
+    a = h.select(F.col("__id__").alias("id_a"), F.col("__v__").alias("va"), F.col("__n__").alias("na"), "__b__")
+    b = h.select(F.col("__id__").alias("id_b"), F.col("__v__").alias("vb"), F.col("__n__").alias("nb"), "__b__")
+    pairs = (
+        a.join(b, "__b__")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    cos = dot / (F.col("na") * F.col("nb"))
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
