@@ -36,8 +36,8 @@ def sessionize(
     w = Window.partitionBy(*keys).orderBy(*order)
 
     ts_dt = df.schema[ts].dataType
-    if isinstance(ts_dt, T.TimestampType):
-        cur_ms = (F.unix_micros(F.col(ts)) / 1000).cast("long")
+    if isinstance(ts_dt, (T.TimestampType, T.TimestampNTZType)):
+        cur_ms = (F.unix_micros(F.col(ts).cast("timestamp")) / 1000).cast("long")
     else:
         cur_ms = F.col(ts).cast("long")
     prev_ms = F.lag(cur_ms).over(w)

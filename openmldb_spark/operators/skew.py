@@ -45,8 +45,8 @@ _BUCKET = "__skew_bucket__"
 
 def _order_ms_expr(df: DataFrame, order_by: str):
     dt = df.schema[order_by].dataType
-    if isinstance(dt, T.TimestampType):
-        return (F.unix_micros(F.col(order_by)) / 1000).cast("long")
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return (F.unix_micros(F.col(order_by).cast("timestamp")) / 1000).cast("long")
     return F.col(order_by).cast("long")
 
 

@@ -209,8 +209,9 @@ def _native_expressible(spec: WindowSpec, aggs: list[Agg], union) -> bool:
 
 def _order_ms_col(df: DataFrame, order_by: str) -> Column:
     dt = df.schema[order_by].dataType
-    if isinstance(dt, T.TimestampType):
-        return (F.unix_micros(F.col(order_by)) / 1000).cast("long")
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        # session TZ is pinned UTC, so NTZ → TZ cast is value-preserving
+        return (F.unix_micros(F.col(order_by).cast("timestamp")) / 1000).cast("long")
     return F.col(order_by).cast("long")
 
 
@@ -492,7 +493,7 @@ def _eval_generic(agg: Agg, pdf: pd.DataFrame, lo, seg_hi, inc_cur,
             if x:
                 _, cnts = np.unique(np.array(x, dtype=object).astype(str), return_counts=True)
                 p = cnts / cnts.sum()
-                out[i] = float(-(p * np.log2(p)).sum())
+                out[i] = float(-(p * np.log2(p)).sum() + 0.0)  # avoid -0.0
         elif fn == "drawdown":
             x = v[~np.isnan(v)]
             out[i] = float(np.max(np.maximum.accumulate(x) - x)) if len(x) else None

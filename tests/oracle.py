@@ -92,7 +92,7 @@ def agg_value(fn, vals, **kw):
     if fn == "entropy":
         vc = pd.Series([str(x) for x in xs]).value_counts()
         p = vc / vc.sum()
-        return float(-(p * np.log2(p)).sum())
+        return float(-(p * np.log2(p)).sum() + 0.0)
     if fn == "drawdown":
         arr = np.array(xs, dtype=float)
         return float(np.max(np.maximum.accumulate(arr) - arr))
