@@ -216,7 +216,7 @@ def q_last_join_asof(spark, sf_dir):
     )
     out = last_join(
         purchases, clicks, on=["user_id"], order_by="cts",
-        asof_left_ts="ts", asof_right_ts="cts", how="merge_asof",
+        asof_left_ts="ts", asof_right_ts="cts", how="union_asof",
     )
     return out.select("event_id", "user_id", "click_id", _r6("click_value").alias("click_value"))
 

@@ -1,0 +1,153 @@
+"""Benchmark harness — prints ONE JSON line with per-query seconds.
+
+Headline: the north-star metric — turns/sec for LAST-JOIN + windowed
+feature backfill over the synthetic transcripts table (hot-conversation
+skew ≥10%), plus representative operator benchmarks over the driver
+testdata at $SPARK_GRAFT_SF_DIR.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[] parallelism (default 32)
+  SPARK_GRAFT_BENCH_CONVS / _TURNS  transcripts scale (default 1000×600
+      ≈ 600k turns + 60k hot-conv turns)
+Transcripts are generated distributed + written to parquet once (keyed
+by scale) so benched queries read from disk like production.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def build_spark(cpus: int):
+    from openmldb_spark.session import SessionConfig, get_spark
+
+    return get_spark(
+        SessionConfig(
+            master=f"local[{cpus}]",
+            app_name="openmldb_spark_bench",
+            shuffle_partitions=max(cpus, 8),
+            driver_memory=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+        )
+    )
+
+
+def ensure_transcripts(spark, n_convs: int, avg_turns: int, base: str = "/tmp/omldb_bench"):
+    """Materialize the bench transcripts + conv_meta parquet once."""
+    from openmldb_spark.data import generate_conv_meta, generate_transcripts
+
+    tdir = f"{base}/transcripts_{n_convs}x{avg_turns}"
+    mdir = f"{base}/conv_meta_{n_convs}"
+    if not os.path.exists(f"{tdir}/_SUCCESS"):
+        generate_transcripts(spark, n_convs=n_convs, avg_turns=avg_turns, seed=42).write.mode(
+            "overwrite"
+        ).parquet(tdir)
+    if not os.path.exists(f"{mdir}/_SUCCESS"):
+        generate_conv_meta(spark, n_convs=n_convs, seed=42).write.mode("overwrite").parquet(mdir)
+    return spark.read.parquet(tdir), spark.read.parquet(mdir)
+
+
+def _run(df) -> float:
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def flagship_backfill(spark, transcripts, meta):
+    """LAST JOIN (as-of) + multi-feature ordered window + sessionize."""
+    from pyspark.sql import functions as F
+
+    from openmldb_spark.operators.window import Agg, WindowSpec
+    from openmldb_spark.plans.backfill import AsOfSource, FeatureWindow, backfill_features
+
+    primary = transcripts.withColumn("__is_tool__", F.col("role") == "tool")
+    fw = FeatureWindow(
+        spec=WindowSpec(["conv_id"], "ts", "rows", 10, tiebreak=["turn_idx"]),
+        aggs=[
+            Agg("count_where", "turn_idx", "n_tool_calls_10", cond="__is_tool__"),
+            Agg("distinct_count", "tool", "n_distinct_tools_10"),
+            Agg("lag", "tool", "prev_tool", n=1),
+            Agg("lag", "role", "prev_role", n=1),
+            Agg("count", None, "n_turns_10"),
+        ],
+    )
+    return backfill_features(
+        primary, "ts", [fw],
+        asof=[AsOfSource(meta, on=["conv_id"], right_ts="ts", prefix="m_", how="merge_asof")],
+        session_key="conv_id", session_gap=1800.0, session_tiebreak=["turn_idx"],
+    ).drop("__is_tool__")
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "1000"))
+    avg_turns = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "600"))
+    sf_label = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+
+    spark = build_spark(cpus)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as em
+
+    transcripts, meta = ensure_transcripts(spark, n_convs, avg_turns)
+    n_turns = transcripts.count()
+
+    queries: dict[str, float] = {}
+
+    # q1 — flagship: the north-star backfill (turns/sec comes from this)
+    queries["backfill_flagship"] = _run(flagship_backfill(spark, transcripts, meta))
+
+    # q2 — skew-salted unbounded window over the hot conversation
+    from openmldb_spark.operators.skew import window_agg_skewed
+    from openmldb_spark.operators.window import Agg, WindowSpec, window_agg
+
+    spec_u = WindowSpec(["conv_id"], "ts", "rows_range", None, tiebreak=["turn_idx"])
+    queries["skewed_unbounded_window"] = _run(
+        window_agg_skewed(
+            transcripts, spec_u,
+            [Agg("count", None, "cnt"), Agg("sum", "turn_idx", "s"),
+             Agg("distinct_count", "tool", "dt")],
+            quantiles=8, hot_threshold=20_000,
+        )
+    )
+
+    # q3 — native rolling windows on events (pure Catalyst path)
+    queries["rows_window_native"] = _run(em.q_rows_window(spark, sf_dir))
+
+    # q4 — kernel ROWS_RANGE on events
+    queries["rows_range_kernel"] = _run(em.q_rows_range_window(spark, sf_dir))
+
+    # q5 — as-of LAST JOIN on events (merge_asof path)
+    queries["last_join_asof"] = _run(em.q_last_join_asof(spark, sf_dir))
+
+    # q6 — sessionize events
+    queries["sessionize"] = _run(em.q_sessionize(spark, sf_dir))
+
+    # q7 — group agg (TPC-H Q1 shape)
+    queries["group_agg"] = _run(em.q_group_agg(spark, sf_dir))
+
+    # q8 — minhash near-dup discovery on documents
+    queries["minhash_dedup"] = _run(em.q_minhash_pairs(spark, sf_dir))
+
+    # q9 — brute-force cosine top-k on embeddings
+    queries["similarity_topk"] = _run(em.q_similarity_topk(spark, sf_dir))
+
+    total = sum(queries.values())
+    out = {
+        "metric": "turns_per_sec_backfill",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in queries.items()},
+        "sf": sf_label,
+        "cpus": cpus,
+        "bench_rows": n_turns,
+        "turns_per_sec": round(n_turns / queries["backfill_flagship"], 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -70,9 +70,14 @@ def last_join(
     keys = [(k, k) if isinstance(k, str) else tuple(k) for k in on]
     if how == "auto":
         if asof_left_ts and order_by in (None, asof_right_ts) and condition is None:
-            how = "merge_asof"
+            how = "union_asof"
         else:
             how = "shuffle"
+    if how == "union_asof":
+        if not (asof_left_ts and asof_right_ts):
+            raise ValueError("union_asof strategy needs asof_left_ts/asof_right_ts")
+        return _union_asof_join(left, right, keys, asof_left_ts, asof_right_ts,
+                                strict, right_prefix)
     if how == "merge_asof":
         if not (asof_left_ts and asof_right_ts):
             raise ValueError("merge_asof strategy needs asof_left_ts/asof_right_ts")
@@ -135,6 +140,68 @@ def _rownum_join(left, right, keys, order_by, condition,
         if m[rk] == lk:
             out = out.drop(right2[m[rk]])
     return out
+
+
+def _union_asof_join(left, right, keys, lts, rts, strict, right_prefix):
+    """Fully native as-of join: union both sides into one per-key
+    timeline, sort, and carry the newest right row forward with
+    ``last(struct(right_cols), ignorenulls=True)`` over an unbounded
+    preceding window. One shuffle + one sort, zero Python, no row
+    explosion — the default scale path (cf. the reference's join+reduce,
+    ``JoinPlan.scala:163-199``, which shuffles the joined product).
+
+    Equal timestamps: right rows sort before left rows (closed bound,
+    ``allow exact matches``); under ``strict`` left rows sort first.
+    Ties among right rows at one ts resolve to the max tiebreak (the
+    struct comparison is positional over right columns) — matching the
+    row_number and merge_asof strategies.
+    """
+    if any(lk != rk for lk, rk in keys):
+        right = right.select(*[
+            F.col(c).alias(dict((r, l) for l, r in keys).get(c, c)) for c in right.columns
+        ])
+    key_cols = [lk for lk, _ in keys]
+    right2, m = _renamed_right(right, [(k, k) for k in key_cols], right_prefix)
+    rts_out = m[rts]
+    right_val_cols = [c for c in right2.columns if c not in key_cols]
+    left_only = [c for c in left.columns if c not in key_cols and c != lts]
+
+    # align schemas: (keys, __ts__, __side__, left cols..., right struct)
+    lhs = left.select(
+        *key_cols,
+        F.col(lts).alias("__ts__"),
+        F.lit(1).alias("__side__"),
+        *[F.col(c) for c in left_only],
+        F.lit(None).cast(
+            T.StructType([right2.schema[c] for c in right_val_cols])
+        ).alias("__rv__"),
+    )
+    # right rows at one ts sorted by value columns asc → last = max tie
+    rhs = right2.filter(F.col(rts_out).isNotNull()).select(
+        *key_cols,
+        F.col(rts_out).alias("__ts__"),
+        F.lit(0 if not strict else 2).alias("__side__"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_only],
+        F.struct(*[F.col(c) for c in right_val_cols]).alias("__rv__"),
+    )
+    unioned = lhs.unionByName(rhs)
+    order = [F.col("__ts__").asc_nulls_last(), F.col("__side__"), F.col("__rv__")]
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.withColumn("__last_rv__", F.last("__rv__", ignorenulls=True).over(w))
+    out = carried.filter(F.col("__side__") == 1)
+    # NULL left ts matches nothing (reference: null order keys excluded)
+    matched = F.when(F.col("__ts__").isNotNull(), F.col("__last_rv__"))
+    out = out.select(
+        *key_cols,
+        F.col("__ts__").alias(lts),
+        *[F.col(c) for c in left_only],
+        *[matched.getField(c).alias(c) for c in right_val_cols],
+    )
+    return out.select(*left.columns, *right_val_cols)
 
 
 def _merge_asof_join(left, right, keys, lts, rts, strict, right_prefix):

@@ -134,7 +134,9 @@ def window_agg_skewed(
     expanded = expanded.drop("__qs__", "__oms__")
 
     # 4. per-(key, bucket) kernel — identical kernel, finer grouping
+    from openmldb_spark.operators.window import run_kernel_partitioned
+
     out_cols = list(df.columns)
     result_fields, out_schema = result_schema(df, aggs)
     kernel = make_kernel(spec, aggs, out_cols, result_fields)
-    return expanded.groupBy(*keys, _BUCKET).applyInPandas(kernel, schema=out_schema)
+    return run_kernel_partitioned(expanded, keys + [_BUCKET], kernel, out_schema)

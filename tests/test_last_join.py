@@ -53,7 +53,7 @@ def _norm(pdf, cols):
     return out.where(out.notna(), None)
 
 
-@pytest.mark.parametrize("how", ["broadcast", "shuffle", "merge_asof"])
+@pytest.mark.parametrize("how", ["broadcast", "shuffle", "merge_asof", "union_asof"])
 def test_asof_last_join_strategies(spark, transcripts, conv_meta, oracle_result, how):
     kwargs = dict(
         on=["conv_id"], order_by="ts",
