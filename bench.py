@@ -50,10 +50,15 @@ def ensure_transcripts(spark, n_convs: int, avg_turns: int, base: str = "/tmp/om
     return spark.read.parquet(tdir), spark.read.parquet(mdir)
 
 
-def _run(df) -> float:
-    t0 = time.time()
-    df.write.format("noop").mode("overwrite").save()
-    return time.time() - t0
+def _run(df, repeats: int = 2) -> float:
+    """Best-of-N wall time (noop sink forces full computation; min
+    damps host-VM CPU contention noise and JIT warm-up)."""
+    best = float("inf")
+    for _ in range(max(1, repeats)):
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    return best
 
 
 def flagship_backfill(spark, transcripts, meta):
@@ -76,7 +81,7 @@ def flagship_backfill(spark, transcripts, meta):
     )
     return backfill_features(
         primary, "ts", [fw],
-        asof=[AsOfSource(meta, on=["conv_id"], right_ts="ts", prefix="m_", how="merge_asof")],
+        asof=[AsOfSource(meta, on=["conv_id"], right_ts="ts", prefix="m_", how="union_asof")],
         session_key="conv_id", session_gap=1800.0, session_tiebreak=["turn_idx"],
     ).drop("__is_tool__")
 

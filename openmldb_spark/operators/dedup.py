@@ -108,6 +108,9 @@ def minhash_dedup(
         F.col(id_col).alias("__id__"),
         shingles(text_col, n=shingle_n).alias("__sh__"),
     ).filter(F.size("__sh__") > 0)
+    # the shingle table feeds both the signature pass and the exact
+    # verify join — persist so shingling (regexp-heavy) runs once
+    base = base.persist()
     sig = base.withColumn("__sig__", minhash_signature(F.col("__sh__"), num_hashes, seed))
 
     band_cols = [
@@ -116,16 +119,21 @@ def minhash_dedup(
                         lambda x: x.cast("string")), ","), F.lit(b)).alias("__band__")
         for b in range(bands)
     ]
-    banded = sig.select("__id__", "__sh__", F.explode(F.array(*band_cols)).alias("__band__"))
-
-    # candidate pairs: docs sharing any band bucket
-    a = banded.select(F.col("__id__").alias("id_a"), F.col("__sh__").alias("__sha__"), "__band__")
-    b = banded.select(F.col("__id__").alias("id_b"), F.col("__sh__").alias("__shb__"), "__band__")
+    # band-bucket join on ids ONLY — shingle arrays would otherwise ride
+    # the bands×docs shuffle; they're re-joined for candidates below
+    banded = sig.select("__id__", F.explode(F.array(*band_cols)).alias("__band__"))
+    a = banded.select(F.col("__id__").alias("id_a"), "__band__")
+    b = banded.select(F.col("__id__").alias("id_b"), "__band__")
     pairs = (
         a.join(b, "__band__")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__sha__", "__shb__")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sh = base.select("__id__", "__sh__")
+    pairs = (
+        pairs.join(sh.withColumnRenamed("__id__", "id_a").withColumnRenamed("__sh__", "__sha__"), "id_a")
+        .join(sh.withColumnRenamed("__id__", "id_b").withColumnRenamed("__sh__", "__shb__"), "id_b")
     )
     inter = F.size(F.array_intersect("__sha__", "__shb__")).cast("double")
     uni = F.size(F.array_union("__sha__", "__shb__")).cast("double")

@@ -89,12 +89,16 @@ def window_agg_skewed(
     )
     tagged = tagged.withColumn(_BUCKET, bucket.cast("int"))
 
-    # 3. context expansion (emit=0 copies into later buckets)
+    # 3. context expansion (emit=0 copies into later buckets). Copies
+    # derive from the HOT subset only — persisted so the q-1 union
+    # branches don't each re-scan the full table (hot rows are a bounded
+    # fraction by construction, safe to cache even at 10^12 total rows).
+    hot = tagged.filter(F.col("__qs__").isNotNull()).persist()
     copies = []
     if spec.preceding is None:
         for i in range(1, quantiles):
             copies.append(
-                tagged.filter(F.col("__qs__").isNotNull() & (F.col(_BUCKET) < i))
+                hot.filter(F.col(_BUCKET) < i)
                 .withColumn(_BUCKET, F.lit(i))
                 .withColumn(_EMIT, F.lit(0))
             )
@@ -103,10 +107,8 @@ def window_agg_skewed(
         for i in range(1, quantiles):
             qi = F.element_at(F.col("__qs__"), i)  # boundary below bucket i
             copies.append(
-                tagged.filter(
-                    F.col("__qs__").isNotNull()
-                    & (F.col(_BUCKET) < i)
-                    & (F.col("__oms__") >= qi - F.lit(ext))
+                hot.filter(
+                    (F.col(_BUCKET) < i) & (F.col("__oms__") >= qi - F.lit(ext))
                 )
                 .withColumn(_BUCKET, F.lit(i))
                 .withColumn(_EMIT, F.lit(0))
@@ -118,9 +120,7 @@ def window_agg_skewed(
         wdesc = W.partitionBy(*keys, _BUCKET).orderBy(
             F.col("__oms__").desc(), *[F.col(c).desc() for c in spec.tiebreak]
         )
-        ranked = tagged.filter(F.col("__qs__").isNotNull()).withColumn(
-            "__rk__", F.row_number().over(wdesc)
-        )
+        ranked = hot.withColumn("__rk__", F.row_number().over(wdesc))
         for i in range(1, quantiles):
             copies.append(
                 ranked.filter((F.col(_BUCKET) < i) & (F.col("__rk__") <= n_rows))

@@ -419,11 +419,45 @@ def _eval_rolling(agg: Agg, fn: str, vals: np.ndarray, lo, seg_hi, inc_cur,
 
 
 def _eval_distinct(vals: pd.Series, lo, seg_hi, inc_cur) -> np.ndarray:
-    """Exact distinct count via amortized two-pointer multiset sweep.
+    """Exact distinct count over the frame.
 
-    lo and seg_hi are non-decreasing → each row enters/leaves the active
-    multiset once: O(n) per group.
+    Fast path (contiguous frame [lo, i], all rows emitted-style): fully
+    vectorized previous-occurrence + difference-array counting — row j
+    is a *new* distinct value inside frame i iff prev_occ[j] < lo[i];
+    since lo is non-decreasing that holds for a contiguous range of i,
+    so each j contributes +1 over an i-interval → O(n log n), no Python
+    loop. Fallback: amortized two-pointer multiset sweep.
     """
+    n = len(vals)
+    if n and inc_cur.all() and (seg_hi == np.arange(n) - 1).all():
+        codes, _ = pd.factorize(vals, use_na_sentinel=True)
+        prev = np.full(n, -1, dtype=np.int64)
+        # prev occurrence index per value (vectorized per value-group)
+        order = np.argsort(codes, kind="stable")
+        oc = codes[order]
+        same = np.empty(n, dtype=bool)
+        same[0] = False
+        same[1:] = oc[1:] == oc[:-1]
+        prev_sorted = np.where(same, np.concatenate(([0], order[:-1])), -1)
+        prev[order] = prev_sorted
+        lo64 = lo.astype(np.int64)
+        j = np.arange(n)
+        # j counts toward frame i iff lo[i] <= j <= i AND prev[j] < lo[i]
+        # lo non-decreasing → prev[j] < lo[i] ⇔ i >= t_j
+        t = np.searchsorted(lo64, prev, side="right")
+        start = np.maximum(j, t)
+        # last i whose frame still contains j: lo[i] <= j
+        end = np.searchsorted(lo64, j, side="right") - 1
+        valid = (codes >= 0) & (start <= end)
+        diff = np.zeros(n + 1, dtype=np.int64)
+        np.add.at(diff, start[valid], 1)
+        np.add.at(diff, end[valid] + 1, -1)
+        return np.cumsum(diff[:-1])
+    return _eval_distinct_twoptr(vals, lo, seg_hi, inc_cur)
+
+
+def _eval_distinct_twoptr(vals: pd.Series, lo, seg_hi, inc_cur) -> np.ndarray:
+    """Amortized two-pointer multiset sweep (general frames)."""
     codes, _ = pd.factorize(vals, use_na_sentinel=True)
     n = len(codes)
     counts: dict[int, int] = {}

@@ -57,8 +57,16 @@ def backfill_features(
     session_gap: float = 1800.0,
     session_tiebreak: list[str] | None = None,
 ) -> DataFrame:
-    """Compute the full feature vector at every primary row."""
+    """Compute the full feature vector at every primary row.
+
+    Window passes run BEFORE the as-of enrichment so the Arrow kernel
+    only carries primary columns (the joined dimension attributes ride
+    the cheap native join afterwards). Windows referencing as-of output
+    columns would need the enrich-first order — not supported here.
+    """
     out = primary
+    for fw in windows:
+        out = window_agg(out, fw.spec, fw.aggs, union=fw.union, impl=fw.impl)
     for src in asof or []:
         out = last_join(
             out,
@@ -70,8 +78,6 @@ def backfill_features(
             how=src.how,
             right_prefix=src.prefix,
         )
-    for fw in windows:
-        out = window_agg(out, fw.spec, fw.aggs, union=fw.union, impl=fw.impl)
     if session_key is not None:
         out = sessionize(
             out, session_key, anchor_ts, gap=session_gap, tiebreak=session_tiebreak
