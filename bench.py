@@ -78,6 +78,7 @@ def flagship_backfill(spark, transcripts, meta):
             Agg("lag", "role", "prev_role", n=1),
             Agg("count", None, "n_turns_10"),
         ],
+        skew=True, skew_quantiles=8, skew_hot_threshold=100_000,
     )
     return backfill_features(
         primary, "ts", [fw],

@@ -64,16 +64,20 @@ def window_agg_skewed(
 
     work = with_flags(df, union).withColumn("__oms__", _order_ms_expr(df, spec.order_by))
 
-    # 1. distribution analysis (tiny result, broadcast back)
+    # 1. distribution analysis — two passes so the percentile sketch
+    # only runs over HOT keys' rows (a per-key count is a cheap partial
+    # aggregate; sketching every key's timeline is not):
     probs = [i / quantiles for i in range(1, quantiles)]
-    dist = (
+    hot_keys = (
         work.groupBy(*keys)
-        .agg(
-            F.count(F.lit(1)).alias("__n__"),
-            F.percentile_approx("__oms__", probs, 10_000).alias("__qs__"),
-        )
+        .agg(F.count(F.lit(1)).alias("__n__"))
         .filter(F.col("__n__") >= hot_threshold)
-        .select(*keys, "__qs__")
+        .select(*keys)
+    )
+    dist = (
+        work.join(F.broadcast(hot_keys), on=keys, how="left_semi")
+        .groupBy(*keys)
+        .agg(F.percentile_approx("__oms__", probs, 1_000).alias("__qs__"))
     )
 
     tagged = work.join(F.broadcast(dist), on=keys, how="left")

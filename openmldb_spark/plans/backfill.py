@@ -40,12 +40,21 @@ class AsOfSource:
 
 @dataclass
 class FeatureWindow:
-    """One window spec + the aggregates computed over it."""
+    """One window spec + the aggregates computed over it.
+
+    ``skew=True`` routes through the salted kernel (operators/skew.py):
+    hot keys' timelines split into ``skew_quantiles`` buckets with
+    frame-context replication — required whenever a single key can hold
+    a task-dominating share of rows (the 10%-hot-conversation shape).
+    """
 
     spec: WindowSpec
     aggs: list[Agg]
     union: list[DataFrame] | None = None
     impl: str = "auto"
+    skew: bool = False
+    skew_quantiles: int = 8
+    skew_hot_threshold: int = 100_000
 
 
 def backfill_features(
@@ -66,7 +75,17 @@ def backfill_features(
     """
     out = primary
     for fw in windows:
-        out = window_agg(out, fw.spec, fw.aggs, union=fw.union, impl=fw.impl)
+        if fw.skew:
+            from openmldb_spark.operators.skew import window_agg_skewed
+
+            out = window_agg_skewed(
+                out, fw.spec, fw.aggs,
+                quantiles=fw.skew_quantiles,
+                hot_threshold=fw.skew_hot_threshold,
+                union=fw.union,
+            )
+        else:
+            out = window_agg(out, fw.spec, fw.aggs, union=fw.union, impl=fw.impl)
     for src in asof or []:
         out = last_join(
             out,

@@ -1,0 +1,100 @@
+"""Scaling-evidence job: the identical LAST-JOIN + windowed feature
+backfill, launched via ``spark-submit --py-files`` at two parallelism
+levels (the sandbox stand-in for N vs 4N executors per BASELINE.md).
+
+Fixed partitioning across runs (SCALING_PARTITIONS) so only the core
+count varies. Prints one JSON line with wall seconds + turns/sec.
+
+    spark-submit --master local[8]  --py-files openmldb_spark.zip tools/scaling_job.py
+    spark-submit --master local[32] --py-files openmldb_spark.zip tools/scaling_job.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+N_CONVS = int(os.environ.get("SCALING_CONVS", "2000"))
+AVG_TURNS = int(os.environ.get("SCALING_TURNS", "1200"))
+PARTITIONS = int(os.environ.get("SCALING_PARTITIONS", "64"))
+REPEATS = int(os.environ.get("SCALING_REPEATS", "2"))
+
+
+def main():
+    spark = (
+        SparkSession.builder.appName("openmldb_spark_scaling")
+        .config("spark.sql.shuffle.partitions", str(PARTITIONS))
+        # fixed partitioning across cluster sizes per the scaling
+        # protocol — AQE re-planning would vary it and add driver
+        # latency that doesn't scale with cores
+        .config("spark.sql.adaptive.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    cores = spark.sparkContext.defaultParallelism
+
+    from openmldb_spark.data import generate_conv_meta, generate_transcripts
+    from openmldb_spark.operators.window import Agg, WindowSpec
+    from openmldb_spark.plans.backfill import AsOfSource, FeatureWindow, backfill_features
+
+    base = "/tmp/omldb_scaling"
+    tdir = f"{base}/transcripts_{N_CONVS}x{AVG_TURNS}"
+    mdir = f"{base}/meta_{N_CONVS}"
+    if not os.path.exists(f"{tdir}/_SUCCESS"):
+        generate_transcripts(spark, n_convs=N_CONVS, avg_turns=AVG_TURNS, seed=42).write.mode(
+            "overwrite"
+        ).parquet(tdir)
+    if not os.path.exists(f"{mdir}/_SUCCESS"):
+        generate_conv_meta(spark, n_convs=N_CONVS, seed=42).write.mode("overwrite").parquet(mdir)
+    transcripts = spark.read.parquet(tdir)
+    meta = spark.read.parquet(mdir)
+    n_turns = transcripts.count()
+
+    primary = transcripts.withColumn("__is_tool__", F.col("role") == "tool")
+    fw = FeatureWindow(
+        spec=WindowSpec(["conv_id"], "ts", "rows", 10, tiebreak=["turn_idx"]),
+        aggs=[
+            Agg("count_where", "turn_idx", "n_tool_calls_10", cond="__is_tool__"),
+            Agg("distinct_count", "tool", "n_distinct_tools_10"),
+            Agg("distinct_count", "role", "n_distinct_roles_10"),
+            Agg("lag", "tool", "prev_tool", n=1),
+            Agg("lag", "role", "prev_role", n=1),
+            Agg("count", None, "n_turns_10"),
+            Agg("stddev", "turn_idx", "std_turn_10"),
+            Agg("min", "ts", "min_ts_10"),
+            Agg("max", "ts", "max_ts_10"),
+        ],
+        skew=True, skew_quantiles=8, skew_hot_threshold=100_000,
+    )
+    job = backfill_features(
+        primary, "ts", [fw],
+        asof=[AsOfSource(meta, on=["conv_id"], right_ts="ts", prefix="m_", how="union_asof")],
+        session_key="conv_id", session_gap=1800.0, session_tiebreak=["turn_idx"],
+    ).drop("__is_tool__")
+
+    best = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.time()
+        job.write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+
+    print(json.dumps({
+        "cores": cores,
+        "partitions": PARTITIONS,
+        "rows": n_turns,
+        "wall_sec": round(best, 3),
+        "turns_per_sec": round(n_turns / best, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
