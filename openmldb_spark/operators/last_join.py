@@ -50,8 +50,10 @@ def last_join(
     asof_left_ts: str | None = None,
     asof_right_ts: str | None = None,
     strict: bool = False,
-    how: str = "auto",  # 'auto' | 'broadcast' | 'shuffle' | 'merge_asof'
+    how: str = "auto",  # 'auto' | 'broadcast' | 'shuffle' | 'union_asof' | 'merge_asof'
     right_prefix: str | None = None,
+    prefix_keys: bool = False,
+    pick: str = "max",  # 'max' (ordered LAST JOIN) | 'min' (storage-order semantics)
 ) -> DataFrame:
     """LAST JOIN ``right`` onto ``left``.
 
@@ -85,15 +87,22 @@ def last_join(
                                 strict, right_prefix)
     return _rownum_join(left, right, keys, order_by, condition,
                         asof_left_ts, asof_right_ts, strict,
-                        broadcast=(how == "broadcast"), right_prefix=right_prefix)
+                        broadcast=(how == "broadcast"), right_prefix=right_prefix,
+                        prefix_keys=prefix_keys, pick=pick)
 
 
-def _renamed_right(right: DataFrame, keys, right_prefix):
-    """Right side with output columns renamed; returns (df, outname map)."""
+def _renamed_right(right: DataFrame, keys, right_prefix, prefix_keys: bool = False):
+    """Right side with output columns renamed; returns (df, outname map).
+
+    Join-key columns keep their names by default (the merge/union
+    strategies group on them); ``prefix_keys`` prefixes them too so the
+    caller can still address the right side's key values (NULL on
+    unmatched rows) — used by the SQL front-end.
+    """
     key_rights = {r for _, r in keys}
     mapping = {}
     for c in right.columns:
-        if right_prefix and c not in key_rights:
+        if right_prefix and (prefix_keys or c not in key_rights):
             mapping[c] = f"{right_prefix}{c}"
         else:
             mapping[c] = c
@@ -102,8 +111,9 @@ def _renamed_right(right: DataFrame, keys, right_prefix):
 
 
 def _rownum_join(left, right, keys, order_by, condition,
-                 asof_left_ts, asof_right_ts, strict, broadcast, right_prefix):
-    right2, m = _renamed_right(right, keys, right_prefix)
+                 asof_left_ts, asof_right_ts, strict, broadcast, right_prefix,
+                 prefix_keys: bool = False, pick: str = "max"):
+    right2, m = _renamed_right(right, keys, right_prefix, prefix_keys)
     # tag left rows; monotonically_increasing_id is unique per row and
     # requires no shuffle (reference: SparkUtil.addIndexColumn)
     lt = left.withColumn(_LIDX, F.monotonically_increasing_id())
@@ -124,7 +134,14 @@ def _rownum_join(left, right, keys, order_by, condition,
 
     order_exprs = []
     if order_by:
-        order_exprs.append(right2[m[order_by]].desc_nulls_last())
+        # NULL order keys rank highest (reference:
+        # cases/function/window/test_maxsize.yaml id 23-2); harmless for
+        # as-of joins where the time condition already excludes NULLs.
+        # pick='min' realizes unordered LAST JOIN's storage-order
+        # semantics: iterate newest-ts-first, the LAST match survives ⇒
+        # the minimum index-ts row (test_lastjoin_simple.yaml id 4-5).
+        oc = right2[m[order_by]]
+        order_exprs.append(oc.desc_nulls_first() if pick == "max" else oc.asc_nulls_last())
     # deterministic tie-break at equal order keys: every right column desc
     order_exprs.extend(
         right2[m[c]].desc_nulls_last() for c in right.columns if c != order_by

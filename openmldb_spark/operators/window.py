@@ -102,6 +102,10 @@ class WindowSpec:
     preceding: int | None = None  # row count or ms offset; None = UNBOUNDED
     end_preceding: int = 0  # end bound offset (0 = CURRENT ROW)
     open_preceding: bool = False  # OPEN on the start bound
+    # end bound is an offset bound (e.g. '0s OPEN PRECEDING'), not
+    # CURRENT ROW — relevant when end_preceding == 0
+    end_is_offset: bool = False
+    open_end: bool = False  # OPEN on the end bound
     maxsize: int = 0  # ROWS_RANGE only
     exclude_current_time: bool = False
     exclude_current_row: bool = False
@@ -118,10 +122,6 @@ class WindowSpec:
             raise ValueError(f"unknown frame type {self.frame!r}")
         if self.maxsize and self.frame == "rows":
             raise ValueError("MAXSIZE is only valid for ROWS_RANGE frames")
-        if self.frame == "rows" and self.end_preceding and self.exclude_current_time:
-            raise NotImplementedError(
-                "ROWS frame with both an end offset and EXCLUDE CURRENT_TIME"
-            )
 
 
 # ---------------------------------------------------------------------------
@@ -150,8 +150,10 @@ def _result_type(agg: Agg, in_type: T.DataType) -> T.DataType:
     if agg.func in _STRING_RESULT:
         return T.StringType()
     if agg.func in ("sum", "sum_where"):
+        # integer sums keep the input width and wrap around on overflow
+        # (reference: sum(int32) is int32 — test_window.yaml id=21)
         if isinstance(in_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
-            return T.LongType()
+            return in_type
         if isinstance(in_type, (T.FloatType, T.DoubleType)):
             return T.DoubleType()
         return in_type
@@ -188,7 +190,7 @@ def window_agg(
 def _native_expressible(spec: WindowSpec, aggs: list[Agg], union) -> bool:
     if union or spec.maxsize or spec.open_preceding or spec.exclude_current_time \
             or spec.exclude_current_row or spec.instance_not_in_window \
-            or spec.end_preceding:
+            or spec.end_preceding or spec.end_is_offset or spec.open_end:
         return False
     if any(a.func not in _NATIVE_OK for a in aggs):
         return False
@@ -231,10 +233,18 @@ def _native_window_agg(df: DataFrame, spec: WindowSpec, aggs: list[Agg]) -> Data
     w_lag = Window.partitionBy(*spec.partition_by).orderBy(*order_cols)
 
     out = df
+    int_wrap = (T.ByteType, T.ShortType, T.IntegerType)
     for a in aggs:
         col = F.col(a.col) if a.col else None
         if a.func == "lag":
             expr = F.lag(col, a.n).over(w_lag)
+        elif a.func in ("sum", "sum_where") and a.col and isinstance(df.schema[a.col].dataType, int_wrap):
+            # integer sums wrap at input width (reference semantics)
+            dt = df.schema[a.col].dataType
+            bits = {T.ByteType: 8, T.ShortType: 16, T.IntegerType: 32}[type(dt)]
+            src = F.when(F.col(a.cond), col) if a.func == "sum_where" else col
+            raw = F.sum(src).over(w)
+            expr = (F.pmod(raw + F.lit(2 ** (bits - 1)), F.lit(2**bits)) - 2 ** (bits - 1)).cast(dt)
         else:
             src = col
             fn = a.func
@@ -298,39 +308,54 @@ def _frame_bounds(spec: WindowSpec, ok: np.ndarray, emit: np.ndarray):
     """
     n = len(ok)
     idx = np.arange(n, dtype=np.int64)
+    has_end = bool(spec.end_preceding) or spec.end_is_offset
     if spec.frame == "rows":
         first_same = np.searchsorted(ok, ok, side="left") if spec.exclude_current_time else None
-        if spec.end_preceding:
-            seg_hi = idx - spec.end_preceding
-            inc_cur = np.zeros(n, dtype=bool)
+        anchor = first_same if spec.exclude_current_time else idx
+        if has_end:
+            e = int(spec.end_preceding) + (1 if spec.open_end else 0)
+            # a non-positive end offset reaches past the current row;
+            # the buffer caps there, so the current row joins the frame
+            # (test_window_row.yaml id=40: ROWS BETWEEN -1 AND -2 PRECEDING)
+            seg_hi = anchor - max(e, 1)
+            inc_cur = np.full(n, e <= 0 and not spec.exclude_current_row)
         else:
-            seg_hi = (first_same - 1) if spec.exclude_current_time else (idx - 1)
+            seg_hi = anchor - 1
             inc_cur = np.full(n, not spec.exclude_current_row)
         if spec.preceding is None:
             lo = np.zeros(n, dtype=np.int64)
         else:
-            p = int(spec.preceding) - (1 if spec.open_preceding else 0)
             # n PRECEDING = n buffered rows before the current position;
             # under EXCLUDE CURRENT_TIME the buffer holds no same-ts rows
-            anchor = first_same if spec.exclude_current_time else idx
+            p = int(spec.preceding) - (1 if spec.open_preceding else 0)
             lo = anchor - p
+        clamp_hi = idx - 1
     else:  # rows_range
         if spec.preceding is None:
             lo = np.zeros(n, dtype=np.int64)
         else:
             side = "right" if spec.open_preceding else "left"
             lo = np.searchsorted(ok, ok - int(spec.preceding), side=side)
-        if spec.end_preceding:
-            seg_hi = np.searchsorted(ok, ok - int(spec.end_preceding), side="right") - 1
+        if has_end:
+            e = int(spec.end_preceding)
+            side_end = "left" if spec.open_end else "right"
+            seg_hi = np.searchsorted(ok, ok - e, side=side_end) - 1
             inc_cur = np.zeros(n, dtype=bool)
+            # negative end offset reaches past the current row: the
+            # buffer caps at the current position (current row included
+            # in the segment — test_window_row_range.yaml id=45)
+            clamp_hi = idx if e < 0 else idx - 1
+            if spec.exclude_current_time:
+                seg_hi = np.minimum(seg_hi, np.searchsorted(ok, ok, side="left") - 1)
         else:
             if spec.exclude_current_time:
                 seg_hi = np.searchsorted(ok, ok, side="left") - 1
             else:
                 seg_hi = idx - 1
             inc_cur = np.full(n, not spec.exclude_current_row)
+            clamp_hi = idx - 1
     lo = np.maximum(lo, 0)
-    seg_hi = np.minimum(seg_hi, idx - (0 if spec.end_preceding else 1))
+    seg_hi = np.minimum(seg_hi, clamp_hi)
     if spec.maxsize:
         cap = int(spec.maxsize) - inc_cur.astype(np.int64)
         lo = np.maximum(lo, seg_hi - cap + 1)
@@ -575,9 +600,22 @@ def _eval_generic(agg: Agg, pdf: pd.DataFrame, lo, seg_hi, inc_cur,
     return out
 
 
-def _eval_positional(agg: Agg, pdf: pd.DataFrame, lo, seg_hi, inc_cur) -> pd.Series:
+def _eval_positional(agg: Agg, pdf: pd.DataFrame, lo, seg_hi, inc_cur,
+                      ok: np.ndarray | None = None,
+                      exclude_current_time: bool = False) -> pd.Series:
     s = pdf[agg.col]
     if agg.func in ("lag", "at"):
+        if exclude_current_time and ok is not None:
+            # same-order-key rows are outside the buffer under EXCLUDE
+            # CURRENT_TIME — lag counts only earlier-keyed rows
+            # (window_attributes.yaml id=9)
+            anchor = np.searchsorted(ok, ok, side="left")
+            idxv = anchor - agg.n
+            vals = s.to_numpy(dtype=object)
+            out = np.full(len(s), None, dtype=object)
+            valid = idxv >= 0
+            out[valid] = vals[idxv[valid]]
+            return pd.Series(out, index=s.index)
         return s.shift(agg.n)
     if agg.func == "first_value":
         # reference semantics: NEWEST value in frame (frame buffered
@@ -615,7 +653,30 @@ def make_kernel(spec: WindowSpec, aggs: list[Agg], out_cols: list[str], result_f
     tiebreak = list(spec.tiebreak)
     spec_b = spec  # captured by closure (plain dataclass, picklable)
     aggs_b = list(aggs)
-    long_cols = [f.name for f in result_fields if isinstance(f.dataType, T.LongType)]
+    int_fields = []
+    for f in result_fields:
+        if isinstance(f.dataType, T.LongType):
+            int_fields.append((f.name, 64))
+        elif isinstance(f.dataType, T.IntegerType):
+            int_fields.append((f.name, 32))
+        elif isinstance(f.dataType, T.ShortType):
+            int_fields.append((f.name, 16))
+
+    def _to_int(out: pd.DataFrame) -> pd.DataFrame:
+        for name, bits in int_fields:
+            v = pd.to_numeric(out[name], errors="coerce")
+            if bits < 64:
+                # integer aggregates wrap at the input width (reference
+                # sums int32 in int32 — test_window.yaml id=21)
+                arr = v.to_numpy(dtype="float64", na_value=np.nan)
+                mask = ~np.isnan(arr)
+                w = np.full(len(arr), np.nan)
+                w[mask] = (
+                    (arr[mask].astype("int64") + 2 ** (bits - 1)) % 2**bits
+                ) - 2 ** (bits - 1)
+                v = pd.Series(w, index=out.index)
+            out[name] = v.astype(f"Int{bits}")
+        return out
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         # drop NULL-order-key rows entirely (WindowAggPlan.scala:788-795)
@@ -627,16 +688,22 @@ def make_kernel(spec: WindowSpec, aggs: list[Agg], out_cols: list[str], result_f
             return out
         # union rows buffer BEFORE primary rows at equal order keys
         # (WindowAggPlan.scala:78-84): sort by (order, 1-union, tiebreak)
-        pdf = pdf.assign(__prim__=1 - pdf[_UNION].to_numpy())
+        pdf = pdf.assign(__prim__=-pdf[_UNION].to_numpy())
         sort_keys = [order_col, "__prim__"] + tiebreak
         pdf = pdf.sort_values(sort_keys, kind="mergesort").reset_index(drop=True)
         ok = _to_order_int64(pdf[order_col])
         emit = pdf[_EMIT].to_numpy() == 1
-        lo, seg_hi, inc_cur = _frame_bounds(spec_b, ok, emit)
 
-        # INSTANCE_NOT_IN_WINDOW: non-current primary rows never enter
-        # anyone's frame segment (current row stays eligible via inc_cur)
-        inw_mask = (pdf[_UNION].to_numpy() == 1) if spec_b.instance_not_in_window else None
+        if spec_b.instance_not_in_window:
+            # dedicated path: positional frames count over the eligible
+            # (union rows) subsequence, not the raw buffer
+            res = _eval_inw_all(spec_b, aggs_b, pdf, ok, emit)
+            out = pdf[out_cols].copy()
+            for k, v in res.items():
+                out[k] = v
+            return _to_int(out[emit])
+
+        lo, seg_hi, inc_cur = _frame_bounds(spec_b, ok, emit)
 
         res: dict[str, object] = {}
         for a in aggs_b:
@@ -644,8 +711,6 @@ def make_kernel(spec: WindowSpec, aggs: list[Agg], out_cols: list[str], result_f
             if a.cond is not None:
                 where_mask = pdf[a.cond].fillna(False).to_numpy().astype(bool)
             seg_mask = where_mask
-            if inw_mask is not None:
-                seg_mask = inw_mask if seg_mask is None else (seg_mask & inw_mask)
 
             fn = a.func
             if fn in _ROLLING or fn in _WHERE:
@@ -668,7 +733,8 @@ def make_kernel(spec: WindowSpec, aggs: list[Agg], out_cols: list[str], result_f
                     v = v.where(pd.Series(seg_mask, index=v.index))
                 res[a.name] = _eval_distinct(v, lo, seg_hi, inc_cur)
             elif fn in _POSITIONAL:
-                res[a.name] = _eval_positional(a, pdf, lo, seg_hi, inc_cur)
+                res[a.name] = _eval_positional(a, pdf, lo, seg_hi, inc_cur,
+                                                ok, spec_b.exclude_current_time)
             else:
                 emit_pos = np.flatnonzero(emit)
                 res[a.name] = _eval_generic(a, pdf, lo, seg_hi, inc_cur, emit_pos, seg_mask, where_mask)
@@ -676,30 +742,30 @@ def make_kernel(spec: WindowSpec, aggs: list[Agg], out_cols: list[str], result_f
         out = pdf[out_cols].copy()
         for k, v in res.items():
             out[k] = v
-        out = out[emit]
-        for c in long_cols:
-            # nullable Int64 so NULL sums survive Arrow conversion
-            out[c] = pd.to_numeric(out[c], errors="coerce").astype("Int64")
-        return out
+        # nullable IntN so NULL aggregates survive Arrow conversion
+        return _to_int(out[emit])
 
     return kernel
 
 
 def with_flags(df: DataFrame, union: list[DataFrame] | None, template: DataFrame | None = None) -> DataFrame:
-    """Primary rows get (emit=1, union=0); union-table rows (0, 1),
-    padding columns the union table lacks with NULLs (reference:
-    WindowAggPlanUtil.scala:50-117)."""
+    """Primary rows get (emit=1, union=0); rows of the k-th union table
+    (emit=0, union=k), padding columns the union table lacks with NULLs
+    (reference: WindowAggPlanUtil.scala:50-117). At equal order keys the
+    buffer order is later-listed-table rows first, then earlier tables,
+    then primary (cases/function/window/test_window_union.yaml 19-1/2),
+    which the kernel realizes by sorting on -union."""
     template = template or df
     out_cols = list(template.columns)
     in_schema = template.schema
     work = df.withColumn(_EMIT, F.lit(1)).withColumn(_UNION, F.lit(0))
-    for u in union or []:
+    for k, u in enumerate(union or [], start=1):
         cols = [
             (F.col(c) if c in u.columns else F.lit(None).cast(in_schema[c].dataType)).alias(c)
             for c in out_cols
         ]
         work = work.unionByName(
-            u.select(*cols).withColumn(_EMIT, F.lit(0)).withColumn(_UNION, F.lit(1))
+            u.select(*cols).withColumn(_EMIT, F.lit(0)).withColumn(_UNION, F.lit(k))
         )
     return work
 
@@ -723,6 +789,150 @@ def run_kernel_partitioned(work: DataFrame, keys: list[str], kernel, out_schema)
 
     n = int(work.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return work.repartition(n, *keys).mapInPandas(run_partition, schema=out_schema)
+
+
+def _py_agg(agg: Agg, pdf: pd.DataFrame, idxs: list[int]):
+    """Reference-exact scalar aggregate over explicit frame indices
+    (used by the INSTANCE_NOT_IN_WINDOW path; frames are tiny there)."""
+    fn = agg.func
+    base = fn[: -len("_where")] if fn.endswith("_where") else fn
+    if agg.cond is not None:
+        cvals = pdf[agg.cond].to_numpy()
+        idxs = [j for j in idxs if bool(cvals[j])]
+    vals = pdf[agg.col].to_numpy() if agg.col else None
+    xs = []
+    if vals is not None:
+        for j in idxs:
+            v = vals[j]
+            if v is None or (isinstance(v, float) and v != v) or v is pd.NaT:
+                continue
+            xs.append(v)
+    if base == "count":
+        return len(xs) if agg.col else len(idxs)
+    if base == "distinct_count":
+        return len(set(xs))
+    if not xs:
+        return None
+    if base == "sum":
+        return sum(xs)
+    if base == "avg":
+        return float(sum(xs) / len(xs))
+    if base == "min":
+        return min(xs)
+    if base == "max":
+        return max(xs)
+    if base == "median":
+        return float(np.median([float(x) for x in xs]))
+    if base in ("stddev", "var"):
+        if len(xs) < 2:
+            return None
+        a = np.array(xs, dtype=float)
+        v = float(np.var(a, ddof=1))
+        return float(np.sqrt(v)) if base == "stddev" else v
+    if base in ("stddev_pop", "var_pop"):
+        a = np.array(xs, dtype=float)
+        v = float(np.var(a, ddof=0))
+        return float(np.sqrt(v)) if base == "stddev_pop" else v
+    raise ValueError(f"INSTANCE_NOT_IN_WINDOW: unsupported aggregate {fn!r}")
+
+
+def _eval_inw_all(spec: WindowSpec, aggs: list[Agg], pdf: pd.DataFrame,
+                   ok: np.ndarray, emit: np.ndarray) -> dict:
+    """INSTANCE_NOT_IN_WINDOW: frames draw ONLY from union-table rows
+    (plus the current row), and positional (ROWS) offsets count over
+    that eligible subsequence — primary rows are never buffered
+    (WINDOW_CLAUSE.md:245-254; WindowAggPlan.scala:592-597)."""
+    n = len(pdf)
+    is_u = pdf[_UNION].to_numpy() >= 1
+    posU = np.flatnonzero(is_u)
+    okU = ok[posU]
+    before = np.cumsum(is_u) - is_u  # union rows strictly before i
+    has_end = bool(spec.end_preceding) or spec.end_is_offset
+
+    if spec.exclude_current_time:
+        anchor = np.minimum(np.searchsorted(okU, ok, side="left"), before)
+    else:
+        anchor = before.astype(np.int64)
+
+    if spec.frame == "rows":
+        if has_end:
+            e = max(int(spec.end_preceding) + (1 if spec.open_end else 0), 1)
+            hi_sub = anchor - e
+            inc_cur = np.zeros(n, dtype=bool)
+        else:
+            hi_sub = anchor - 1
+            inc_cur = np.full(n, not spec.exclude_current_row)
+        if spec.preceding is None:
+            lo_sub = np.zeros(n, dtype=np.int64)
+        else:
+            lo_sub = anchor - (int(spec.preceding) - (1 if spec.open_preceding else 0))
+    else:
+        if spec.preceding is None:
+            lo_sub = np.zeros(n, dtype=np.int64)
+        else:
+            side = "right" if spec.open_preceding else "left"
+            lo_sub = np.searchsorted(okU, ok - int(spec.preceding), side=side)
+        if has_end:
+            e = int(spec.end_preceding)
+            side_end = "left" if spec.open_end else "right"
+            hi_sub = np.searchsorted(okU, ok - e, side=side_end) - 1
+            inc_cur = np.zeros(n, dtype=bool)
+        else:
+            hi_sub = anchor - 1
+            inc_cur = np.full(n, not spec.exclude_current_row)
+        if spec.exclude_current_time:
+            hi_sub = np.minimum(hi_sub, np.searchsorted(okU, ok, side="left") - 1)
+    lo_sub = np.maximum(lo_sub, 0)
+    hi_sub = np.minimum(hi_sub, before - 1)
+    if spec.maxsize:
+        cap = int(spec.maxsize) - inc_cur.astype(np.int64)
+        lo_sub = np.maximum(lo_sub, hi_sub - cap + 1)
+
+    emit_pos = np.flatnonzero(emit)
+    res: dict[str, object] = {}
+    for a in aggs:
+        out = np.full(n, None, dtype=object)
+        if a.func in ("lag", "at"):
+            vals = pdf[a.col].to_numpy()
+            for i in emit_pos:
+                j = anchor[i] - a.n
+                out[i] = vals[posU[j]] if j >= 0 else None
+        elif a.func == "first_value":
+            vals = pdf[a.col].to_numpy()
+            for i in emit_pos:
+                if inc_cur[i]:
+                    out[i] = vals[i]
+                elif hi_sub[i] >= lo_sub[i]:
+                    out[i] = vals[posU[hi_sub[i]]]
+        elif a.func in _GENERIC or a.func in _CATE or a.func in _CATE_WHERE:
+            for i in emit_pos:
+                idxs = [int(posU[j]) for j in range(lo_sub[i], hi_sub[i] + 1)]
+                if inc_cur[i]:
+                    idxs.append(i)
+                out[i] = _generic_one(a, pdf, idxs)
+        else:
+            for i in emit_pos:
+                idxs = [int(posU[j]) for j in range(lo_sub[i], hi_sub[i] + 1)]
+                if inc_cur[i]:
+                    idxs.append(i)
+                out[i] = _py_agg(a, pdf, idxs)
+        res[a.name] = out
+    return res
+
+
+def _generic_one(agg: Agg, pdf: pd.DataFrame, idxs: list[int]):
+    """One-row evaluation of the generic aggregates over explicit
+    indices (shares the branch logic with _eval_generic via a 1-frame
+    call)."""
+    sub = pdf.iloc[idxs].reset_index(drop=True)
+    k = len(sub)
+    if k == 0:
+        return None
+    # frame of sub's last row = the whole sub
+    r = _eval_generic(agg, sub, np.zeros(k, dtype=np.int64),
+                       np.arange(k) - 1, np.full(k, True),
+                       np.array([k - 1]), None)
+    return r[k - 1]
 
 
 def _kernel_window_agg(

@@ -1,0 +1,233 @@
+"""Harness that runs the reference's YAML golden cases (PUBLIC test
+corpus under /root/reference/cases — data + SQL + expected rows; we
+read WHAT to compute, the execution is entirely this engine's).
+
+Case format (hybridse/src/case/sql_case.cc): ``inputs`` (typed columns,
+literal rows), ``sql`` with {0},{1} table placeholders, ``expect``
+(columns/rows/order)."""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime, timezone
+
+import pandas as pd
+import yaml
+from pyspark.sql import types as T
+
+_TYPES = {
+    "bool": T.BooleanType(),
+    "smallint": T.ShortType(),
+    "int16": T.ShortType(),
+    "int": T.IntegerType(),
+    "int32": T.IntegerType(),
+    "bigint": T.LongType(),
+    "int64": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "string": T.StringType(),
+    "date": T.DateType(),
+    "timestamp": T.TimestampType(),
+}
+
+
+def parse_schema(cols: list[str]) -> T.StructType:
+    fields = []
+    for c in cols:
+        name, typ = c.strip().rsplit(" ", 1)
+        fields.append(T.StructField(name.strip(), _TYPES[typ.strip().lower()], True))
+    return T.StructType(fields)
+
+
+def _conv(v, dt):
+    if v is None or (isinstance(v, str) and v.lower() in ("null", "none")):
+        return None
+    if isinstance(dt, T.TimestampType):
+        if isinstance(v, (int, float)):
+            return datetime.fromtimestamp(v / 1000.0, tz=timezone.utc).replace(tzinfo=None)
+        return pd.Timestamp(v).to_pydatetime()
+    if isinstance(dt, T.DateType):
+        return pd.Timestamp(v).date()
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return float(v)
+    if isinstance(dt, (T.ShortType, T.IntegerType, T.LongType)):
+        return int(v)
+    if isinstance(dt, T.BooleanType):
+        if isinstance(v, str):
+            return v.lower() == "true"
+        return bool(v)
+    return v
+
+
+def _literal(tok: str):
+    t = tok.strip()
+    if t.lower() in ("null", "none", ""):
+        return None
+    try:
+        return int(t)
+    except ValueError:
+        pass
+    try:
+        return float(t)
+    except ValueError:
+        pass
+    return t
+
+
+def build_df(spark, inp: dict):
+    schema = parse_schema(inp["columns"])
+    raw = inp.get("rows")
+    if raw is None and "data" in inp:
+        raw = [
+            [_literal(x) for x in line.split(",")]
+            for line in inp["data"].strip().splitlines()
+            if line.strip()
+        ]
+    rows = [
+        tuple(_conv(v, f.dataType) for v, f in zip(r, schema.fields))
+        for r in raw or []
+    ]
+    return spark.createDataFrame(rows, schema=schema)
+
+
+def load_cases(path: str) -> list[dict]:
+    with open(path) as f:
+        doc = yaml.safe_load(f)
+    out = []
+    for case in doc.get("cases", []):
+        out.extend(expand_case(case))
+    return out
+
+
+def expand_case(case: dict) -> list[dict]:
+    """Expand dataProvider variants: ``d[k]`` tokens in the SQL iterate
+    over provider lists; expectProvider overrides expect per variant."""
+    providers = case.get("dataProvider")
+    if not providers:
+        return [case]
+    from itertools import product
+
+    out = []
+    for combo_idx, combo in enumerate(product(*providers)):
+        c = dict(case)
+        sql = case["sql"]
+        for k, v in enumerate(combo):
+            sql = sql.replace(f"d[{k}]", str(v))
+        c["sql"] = sql
+        c["id"] = f"{case.get('id')}[{','.join(map(str, combo))}]"
+        ep = case.get("expectProvider")
+        if ep is not None:
+            # keyed by the first provider's index (single-list corpus)
+            key = combo_idx if combo_idx in ep else str(combo_idx)
+            if key in ep:
+                exp = dict(case.get("expect", {}))
+                exp.update(ep[key])
+                c["expect"] = exp
+            elif len(providers) > 1:
+                c["expect"] = {}  # multi-list providers unsupported → skip
+        out.append(c)
+    return out
+
+
+def run_case(spark, case: dict):
+    """Returns (ok, message). Raises nothing."""
+    from openmldb_spark.sql import SqlEngine
+
+    expect = case.get("expect", {})
+    if expect.get("success") is False:
+        return None, "error-case (skipped)"
+    if not expect.get("rows") and not expect.get("columns") and not expect.get("data"):
+        return None, "no expected rows (skipped)"
+    mode = case.get("mode", "")
+    if "batch-unsupport" in mode or "offline-unsupport" in mode:
+        return None, f"mode={mode} (skipped)"
+    tags = [str(t) for t in case.get("tags") or []]
+    if any("TODO" in t for t in tags):
+        # the reference marks these expectations as broken in its own
+        # C++ unit tests
+        return None, f"reference TODO tag {tags} (skipped)"
+
+    eng = SqlEngine(spark)
+    names = []
+    for i, inp in enumerate(case.get("inputs", [])):
+        name = inp.get("name", f"t{i}")
+        index_ts = None
+        for idx in inp.get("indexs") or []:
+            parts = str(idx).split(":")
+            if len(parts) >= 3 and parts[2]:
+                index_ts = parts[2]
+                break
+        eng.register(name, build_df(spark, inp), index_ts=index_ts)
+        names.append(name)
+    sql = case["sql"]
+    for i, name in enumerate(names):
+        sql = sql.replace("{" + str(i) + "}", name)
+
+    try:
+        got = eng.sql(sql).toPandas()
+    except Exception as ex:  # noqa: BLE001
+        return False, f"ENGINE ERROR: {type(ex).__name__}: {str(ex)[:200]}"
+
+    exp_schema = parse_schema(expect["columns"])
+    raw_rows = expect.get("rows")
+    if raw_rows is None and "data" in expect:
+        raw_rows = [
+            [_literal(x) for x in line.split(",")]
+            for line in expect["data"].strip().splitlines()
+            if line.strip()
+        ]
+    exp_rows = [
+        tuple(_conv(v, f.dataType) for v, f in zip(r, exp_schema.fields))
+        for r in raw_rows or []
+    ]
+    exp = pd.DataFrame(exp_rows, columns=[f.name for f in exp_schema.fields])
+
+    if list(got.columns) != list(exp.columns):
+        return False, f"columns: got {list(got.columns)} want {list(exp.columns)}"
+    if len(set(exp.columns)) != len(exp.columns):
+        # duplicate output names (id21 三表拼表) → compare positionally
+        order = expect.get("order")
+        if order:
+            pos = list(exp.columns).index(order)
+            got = got.copy()
+            exp = exp.copy()
+            newcols = [f"__c{i}__" for i in range(len(exp.columns))]
+            got.columns = newcols
+            exp.columns = newcols
+            expect = dict(expect, order=f"__c{pos}__")
+    if len(got) != len(exp):
+        return False, f"rows: got {len(got)} want {len(exp)}"
+    import re as _re
+
+    if _re.search(r"(?i)\blimit\s+\d+", case["sql"]):
+        # LIMIT keeps an engine-arbitrary subset; count+schema checked
+        return True, "ok (limit: count/schema only)"
+
+    order = expect.get("order")
+    if order:
+        ob = [order] if isinstance(order, str) else list(order)
+        got = got.sort_values(ob, kind="mergesort").reset_index(drop=True)
+        exp = exp.sort_values(ob, kind="mergesort").reset_index(drop=True)
+    else:
+        got = got.sort_values(list(got.columns), kind="mergesort").reset_index(drop=True)
+        exp = exp.sort_values(list(exp.columns), kind="mergesort").reset_index(drop=True)
+
+    for c in exp.columns:
+        for i in range(len(exp)):
+            g, e = got[c].iloc[i], exp[c].iloc[i]
+            gn = g is None or (isinstance(g, float) and math.isnan(g)) or g is pd.NaT or (g != g)
+            en = e is None or (isinstance(e, float) and math.isnan(e)) or e is pd.NaT
+            if gn and en:
+                continue
+            if gn != en:
+                return False, f"row {i} col {c}: got {g!r} want {e!r}"
+            if isinstance(e, float):
+                if not math.isclose(float(g), e, rel_tol=1e-5, abs_tol=1e-6):
+                    return False, f"row {i} col {c}: got {g!r} want {e!r}"
+            elif isinstance(e, datetime):
+                if pd.Timestamp(g) != pd.Timestamp(e):
+                    return False, f"row {i} col {c}: got {g!r} want {e!r}"
+            else:
+                if g != e:
+                    return False, f"row {i} col {c}: got {g!r} want {e!r}"
+    return True, "ok"
