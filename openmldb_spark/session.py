@@ -61,6 +61,9 @@ def get_spark(cfg: SessionConfig | None = None):
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # the reference dialect has C-style expression semantics: bad
+        # casts and division by zero yield NULL, not errors
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", cfg.driver_memory)

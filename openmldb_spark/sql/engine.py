@@ -150,6 +150,67 @@ def _extract_over_calls(item: str, win_names: set[str]):
     return "".join(out), calls
 
 
+def _rewrite_where_aggs(sql: str) -> str:
+    """GROUP-BY-context ``fn_where(x, cond)`` → ``fn(CASE WHEN cond
+    THEN x END)`` (the reference's conditional aggregates outside
+    windows — query/group_query.yaml id=7)."""
+    pat = re.compile(r"(?i)\b(sum|count|avg|min|max)_where\s*\(")
+    while True:
+        m = pat.search(sql)
+        if not m:
+            return sql
+        j = m.end()
+        depth = 1
+        while j < len(sql) and depth:
+            if sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+            j += 1
+        args = _split_top(sql[m.end(): j - 1])
+        if len(args) != 2:
+            return sql
+        repl = f"{m.group(1)}(CASE WHEN {args[1]} THEN {args[0]} END)"
+        sql = sql[: m.start()] + repl + sql[j:]
+
+
+def _split_set_union(q: str) -> list[tuple[str, str]]:
+    """Split a statement at top-level UNION [ALL|DISTINCT] boundaries.
+
+    Returns [(part_sql, mode)]; the WINDOW-clause UNION lives inside
+    parentheses and is never at depth 0.
+    """
+    parts = []
+    depth = 0
+    low = q.lower()
+    i = 0
+    start = 0
+    mode = "all"
+    out = []
+    while i < len(q):
+        ch = q[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (depth == 0 and low.startswith("union", i) and re.match(r"union\b", low[i:])
+              and (i == 0 or not (low[i - 1].isalnum() or low[i - 1] == "_"))):
+            # not WINDOW-clause union (that is inside parens)
+            j = i + 5
+            m = re.match(r"\s+(all|distinct)\b", low[j:])
+            nmode = m.group(1) if m else "distinct"
+            if m:
+                j += m.end()
+            out.append((q[start:i].strip(), mode))
+            mode = nmode
+            start = j
+            i = j
+            continue
+        i += 1
+    out.append((q[start:].strip(), mode))
+    return out
+
+
 def _parse_bound(txt: str) -> tuple[int | None, bool, bool]:
     """→ (offset, is_open, is_current_row). Offsets: rows count or ms."""
     t = txt.strip().lower()
@@ -292,7 +353,7 @@ class SqlEngine:
         """``t1.c3`` → flattened column name (joined right cols got
         prefixed); bare names pass through."""
         e = expr.strip()
-        m = re.fullmatch(r"(\w+)\.(\w+)", e)
+        m = re.fullmatch(r"([A-Za-z_]\w*)\.([A-Za-z_]\w*)", e)
         if not m:
             return e
         tbl, col = m.group(1).lower(), m.group(2)
@@ -303,7 +364,8 @@ class SqlEngine:
             tbl, col = m.group(1).lower(), m.group(2)
             return self._colmap.get((tbl, col.lower()), col)
 
-        return re.sub(r"(\w+)\.(\w+)", rep, expr)
+        # identifiers only — must not touch float literals like 2.0
+        return re.sub(r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b", rep, expr)
 
     # -- execution ----------------------------------------------------------
 
@@ -320,6 +382,26 @@ class SqlEngine:
         # '!expr' prefix negation (dialect) → ANSI NOT (keep '!=')
         q = text.replace("`", "").strip().rstrip(";").strip()
         q = re.sub(r"!(?!=)\s*", "NOT ", q)
+        # dialect spellings Spark lacks
+        q = re.sub(r"(?i)\bMOD\b(?!\s*\()", "%", q)
+        q = re.sub(r"(?i)\bAS\s+BOOL\b", "AS BOOLEAN", q)
+        q = re.sub(r"(?i)\bbool\s*\(", "boolean(", q)
+
+        # top-level UNION [ALL|DISTINCT] set operation
+        parts = _split_set_union(q)
+        if len(parts) > 1:
+            dfs = [self._sql(p[0]) for p in parts]
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d)
+            # OpenMLDB UNION without ALL de-duplicates
+            if any(p[1] == "distinct" for p in parts[1:]):
+                out = out.distinct()
+            return out
+
+        if not re.search(r"(?is)\bFROM\b", q):
+            # constant SELECT (no FROM) → Spark SQL directly
+            return self.spark.sql(q)
         # pull off the WINDOW clause (to end or before LIMIT)
         mwin = re.search(r"(?is)\bWINDOW\s+(\w+\s+AS\s*\(.*\))\s*(LIMIT\s+\d+)?\s*$", q)
         limit_txt = ""
@@ -352,6 +434,7 @@ class SqlEngine:
 
         # column map: base table columns keep their names
         self._colmap: dict[tuple[str, str], str] = {}
+        self._flat_raw: dict[str, str] = {}  # flattened → original name
         for al in aliases:
             for c in df.columns:
                 self._colmap[(al, c.lower())] = c
@@ -380,6 +463,7 @@ class SqlEngine:
                     continue
                 for c in right.columns:
                     self._colmap[(rname, c.lower())] = f"{prefix}{c}"
+                    self._flat_raw[f"{prefix}{c}"] = c
 
             # split conjunction into equi keys / asof / residual;
             # the right table's real name is shadowed by a base alias
@@ -440,7 +524,29 @@ class SqlEngine:
         tmp_cols: list[tuple[str, str]] = []  # (name, sql expr)
         n_tmp = 0
 
+        input_cols = list(df.columns)
+
+        def _star_items(cols):
+            return [
+                f"`{c}` AS `{self._flat_raw[c]}`" if c in self._flat_raw else f"`{c}`"
+                for c in cols
+            ]
+
         for item in select_items:
+            it = item.strip()
+            if it == "*" and (win_defs or self._flat_raw):
+                # expand in place so window feature columns don't leak
+                # in and joined columns keep their original names
+                plain_items.extend(_star_items(input_cols))
+                continue
+            mstar = re.fullmatch(r"(\w+)\.\*", it)
+            if mstar:
+                tname = mstar.group(1).lower()
+                cols = [v for (t, _), v in self._colmap.items() if t == tname]
+                # preserve df column order
+                cols = [c for c in input_cols if c in set(cols)]
+                plain_items.extend(_star_items(cols))
+                continue
             body, alias = self._split_alias(item)
             rewritten, calls = _extract_over_calls(body, set(win_defs))
             if not calls:
@@ -451,6 +557,10 @@ class SqlEngine:
                 elif mcol and expr != mcol.group(2):
                     # unaliased t.col keeps the bare column output name
                     plain_items.append(f"{expr} AS {mcol.group(2)}")
+                elif not re.fullmatch(r"[\w\.]+|\*", body.strip()):
+                    # unaliased expressions are named by their (deprefixed)
+                    # source text, matching the reference's output naming
+                    plain_items.append(f"{expr} AS `{expr.strip()}`")
                 else:
                     plain_items.append(expr)
                 continue
@@ -496,6 +606,7 @@ class SqlEngine:
         df.createOrReplaceTempView(view)
         residual_tail = self._rewrite_refs(residual_tail.strip())
         final = f"SELECT {', '.join(plain_items)} FROM {view} {residual_tail} {limit_txt}"
+        final = _rewrite_where_aggs(final)
         return self.spark.sql(final)
 
     def _resolve_table(self, name: str) -> DataFrame:

