@@ -173,6 +173,48 @@ def q_ew_avg_window(spark, sf_dir):
     return out.select("event_id", "user_id", _r6("ew").alias("ew"))
 
 
+def q_stat_windows(spark, sf_dir):
+    from openmldb_spark.operators.window import Agg, WindowSpec, window_agg
+
+    ev = _t(spark, sf_dir, "events")
+    spec = WindowSpec(["user_id"], "ts", "rows", 20, tiebreak=["event_id"])
+    out = window_agg(ev, spec, [
+        Agg("stddev", "value", "sd"),
+        Agg("var", "value", "vr"),
+        Agg("median", "value", "med"),
+    ], impl="kernel")
+    # +1e-9 before rounding: the 2-decimal source data makes variance
+    # values land exactly on .5 rounding boundaries, where engines'
+    # half-rounding conventions differ
+    return out.select(
+        "event_id", "user_id",
+        F.round(F.col("sd") + 1e-9, 6).alias("sd"),
+        F.round(F.col("vr") + 1e-9, 6).alias("vr"),
+        _r6("med").alias("med"),
+    )
+
+
+def q_drawdown_window(spark, sf_dir):
+    from openmldb_spark.operators.window import Agg, WindowSpec, window_agg
+
+    ev = _t(spark, sf_dir, "events")
+    spec = WindowSpec(["user_id"], "ts", "rows", 20, tiebreak=["event_id"])
+    out = window_agg(ev, spec, [Agg("drawdown", "value", "dd")], impl="kernel")
+    return out.select("event_id", "user_id", _r6("dd").alias("dd"))
+
+
+def q_first_value_window(spark, sf_dir):
+    """reference first_value = NEWEST value in frame; with EXCLUDE
+    CURRENT_ROW that is the previous row's value (≡ lag 1)."""
+    from openmldb_spark.operators.window import Agg, WindowSpec, window_agg
+
+    ev = _t(spark, sf_dir, "events")
+    spec = WindowSpec(["user_id"], "ts", "rows", 5, exclude_current_row=True,
+                      tiebreak=["event_id"])
+    out = window_agg(ev, spec, [Agg("first_value", "value", "fv")], impl="kernel")
+    return out.select("event_id", "user_id", _r6("fv").alias("fv"))
+
+
 def q_skewed_window(spark, sf_dir):
     from openmldb_spark.operators.skew import window_agg_skewed
     from openmldb_spark.operators.window import Agg, WindowSpec
@@ -407,6 +449,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cate_window": q_cate_window,
         "where_window": q_where_window,
         "ew_avg_window": q_ew_avg_window,
+        "stat_windows": q_stat_windows,
+        "drawdown_window": q_drawdown_window,
+        "first_value_window": q_first_value_window,
         "skewed_window": q_skewed_window,
         "window_union": q_window_union,
         "last_join_asof": q_last_join_asof,
@@ -552,6 +597,32 @@ def oracle_sql() -> dict[str, str]:
                             SUM(POW(0.5, a.rn - v.rn))
                      FROM r v WHERE v.user_id=a.user_id
                        AND v.rn BETWEEN a.rn - 10 AND a.rn), 6) AS ew
+            FROM r a
+        """,
+        "stat_windows": _RN_CTE + """
+            SELECT a.event_id, a.user_id,
+              ROUND((SELECT STDDEV_SAMP(v.value) FROM r v WHERE v.user_id=a.user_id
+                 AND v.rn BETWEEN a.rn - 20 AND a.rn) + 1e-9, 6) AS sd,
+              ROUND((SELECT VAR_SAMP(v.value) FROM r v WHERE v.user_id=a.user_id
+                 AND v.rn BETWEEN a.rn - 20 AND a.rn) + 1e-9, 6) AS vr,
+              ROUND((SELECT MEDIAN(v.value) FROM r v WHERE v.user_id=a.user_id
+                 AND v.rn BETWEEN a.rn - 20 AND a.rn), 6) AS med
+            FROM r a
+        """,
+        "drawdown_window": _RN_CTE + """
+            SELECT a.event_id, a.user_id,
+              ROUND(COALESCE((
+                SELECT MAX(
+                  (SELECT MAX(w.value) FROM r w WHERE w.user_id = a.user_id
+                     AND w.rn BETWEEN a.rn - 20 AND v.rn) - v.value)
+                FROM r v WHERE v.user_id = a.user_id
+                  AND v.rn BETWEEN a.rn - 20 AND a.rn), 0.0), 6) AS dd
+            FROM r a
+        """,
+        "first_value_window": _RN_CTE + """
+            SELECT a.event_id, a.user_id,
+              ROUND((SELECT v.value FROM r v WHERE v.user_id=a.user_id
+                 AND v.rn = a.rn - 1), 6) AS fv
             FROM r a
         """,
         "skewed_window": _RN_CTE + """

@@ -416,6 +416,12 @@ def _eval_rolling(agg: Agg, fn: str, vals: np.ndarray, lo, seg_hi, inc_cur,
         with np.errstate(invalid="ignore", divide="ignore"):
             return np.where(c > 0, s / c, np.nan)
     if fn in ("stddev", "stddev_pop", "var", "var_pop"):
+        # center on the global mean before the sum/sum-of-squares
+        # recomposition: kills the catastrophic cancellation that makes
+        # both the naive formula and pandas' incremental rolling drift
+        mu = float(np.nanmean(v)) if np.isfinite(np.nanmean(v)) else 0.0
+        vs = vs - mu
+        vc = vc - mu
         s1 = np.nan_to_num(_rolling_seg(vs, lo, seg_hi, "sum")) + np.where(inc_nn, np.nan_to_num(vc), 0.0)
         s2 = np.nan_to_num(_rolling_seg(vs * vs, lo, seg_hi, "sum")) + np.where(inc_nn, np.nan_to_num(vc * vc), 0.0)
         c = np.nan_to_num(_rolling_seg(nn, lo, seg_hi, "sum")) + inc_nn
