@@ -386,6 +386,9 @@ class SqlEngine:
         q = re.sub(r"(?i)\bMOD\b(?!\s*\()", "%", q)
         q = re.sub(r"(?i)\bAS\s+BOOL\b", "AS BOOLEAN", q)
         q = re.sub(r"(?i)\bbool\s*\(", "boolean(", q)
+        q = re.sub(r"(?i)\bint16\s*\(", "smallint(", q)
+        q = re.sub(r"(?i)\bint32\s*\(", "int(", q)
+        q = re.sub(r"(?i)\bint64\s*\(", "bigint(", q)
 
         # top-level UNION [ALL|DISTINCT] set operation
         parts = _split_set_union(q)
