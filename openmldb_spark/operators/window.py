@@ -720,18 +720,33 @@ def make_kernel(spec: WindowSpec, aggs: list[Agg], out_cols: list[str], result_f
 
             fn = a.func
             if fn in _ROLLING or fn in _WHERE:
+                import datetime as _dtmod
+
                 base = fn[: -len("_where")] if fn.endswith("_where") else fn
-                is_dt = a.col is not None and pd.api.types.is_datetime64_any_dtype(pdf[a.col])
+                col_s = pdf[a.col] if a.col is not None else None
+                is_dt = col_s is not None and pd.api.types.is_datetime64_any_dtype(col_s)
+                is_date = False
+                if col_s is not None and not is_dt and col_s.dtype == object:
+                    nn0 = col_s.dropna()
+                    is_date = len(nn0) > 0 and isinstance(nn0.iloc[0], _dtmod.date) \
+                        and not isinstance(nn0.iloc[0], _dtmod.datetime)
                 if is_dt:
-                    vals = _to_order_int64(pdf[a.col]).astype("float64")
-                    vals[pdf[a.col].isna().to_numpy()] = np.nan
+                    vals = _to_order_int64(col_s).astype("float64")
+                    vals[col_s.isna().to_numpy()] = np.nan
+                elif is_date:
+                    dt64 = pd.to_datetime(col_s, errors="coerce")
+                    vals = (dt64.astype("datetime64[ns]").astype("int64") // 1_000_000).astype("float64")
+                    vals[dt64.isna().to_numpy()] = np.nan
                 elif a.col:
-                    vals = pd.to_numeric(pdf[a.col], errors="coerce").to_numpy()
+                    vals = pd.to_numeric(col_s, errors="coerce").to_numpy()
                 else:
                     vals = np.ones(len(pdf))
                 r = _eval_rolling(a, base, vals, lo, seg_hi, inc_cur, seg_mask, where_mask)
-                if is_dt and base in ("min", "max", "median"):
+                if (is_dt or is_date) and base in ("min", "max", "median", "sum", "avg"):
+                    # dialect sums/avgs timestamps as epoch-ms values
                     r = pd.to_datetime(pd.Series(r), unit="ms")
+                    if is_date:
+                        r = pd.Series([None if v is pd.NaT else v.date() for v in r], dtype=object)
                 res[a.name] = r
             elif fn == "distinct_count":
                 v = pdf[a.col]

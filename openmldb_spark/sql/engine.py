@@ -174,6 +174,86 @@ def _rewrite_where_aggs(sql: str) -> str:
         sql = sql[: m.start()] + repl + sql[j:]
 
 
+def _strip_hash_comments(sql: str) -> str:
+    """Dialect '#' line comments (quote-aware)."""
+    out = []
+    in_str = None
+    i = 0
+    while i < len(sql):
+        ch = sql[i]
+        if in_str:
+            out.append(ch)
+            if ch == in_str:
+                in_str = None
+        elif ch in ("'", '"'):
+            in_str = ch
+            out.append(ch)
+        elif ch == "#":
+            while i < len(sql) and sql[i] != "\n":
+                i += 1
+            continue
+        else:
+            out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _rewrite_like_match(sql: str) -> str:
+    """``[i]like_match(str, pat[, esc])`` → native LIKE/ILIKE."""
+    pat = re.compile(r"(?i)\b(i?)like_match\s*\(")
+    while True:
+        m = pat.search(sql)
+        if not m:
+            return sql
+        j = m.end()
+        depth = 1
+        while j < len(sql) and depth:
+            if sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+            j += 1
+        args = _split_top(sql[m.end(): j - 1])
+        op = "ILIKE" if m.group(1).lower() == "i" else "LIKE"
+        esc = f" ESCAPE {args[2]}" if len(args) > 2 and args[2].strip() not in ("''", '""') else ""
+        repl = f"(({args[0]}) {op} ({args[1]}){esc})"
+        sql = sql[: m.start()] + repl + sql[j:]
+
+
+def _name_inline_windows(q: str) -> tuple[str, list[str]]:
+    """Replace anonymous ``OVER ( ... )`` windows with synthetic names,
+    returning the rewritten statement + window definitions."""
+    defs: list[str] = []
+    out = []
+    i = 0
+    pat = re.compile(r"(?is)\bOVER\s*\(")
+    while True:
+        m = pat.search(q, i)
+        if not m:
+            out.append(q[i:])
+            break
+        j = m.end()
+        depth = 1
+        while j < len(q) and depth:
+            if q[j] == "(":
+                depth += 1
+            elif q[j] == ")":
+                depth -= 1
+            j += 1
+        body = q[m.end(): j - 1]
+        if not re.search(r"(?is)\bROWS(_RANGE)?\s+BETWEEN", body):
+            # ANSI window without a dialect frame → leave for Spark SQL
+            out.append(q[i:j])
+            i = j
+            continue
+        name = f"__anonw{len(defs)}__"
+        defs.append(f"{name} AS ({body})")
+        out.append(q[i: m.start()])
+        out.append(f"OVER {name}")
+        i = j
+    return "".join(out), defs
+
+
 def _split_set_union(q: str) -> list[tuple[str, str]]:
     """Split a statement at top-level UNION [ALL|DISTINCT] boundaries.
 
@@ -365,7 +445,19 @@ class SqlEngine:
             return self._colmap.get((tbl, col.lower()), col)
 
         # identifiers only — must not touch float literals like 2.0
-        return re.sub(r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b", rep, expr)
+        out = re.sub(r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b", rep, expr)
+        bare = getattr(self, "_bare_map", None)
+        if bare:
+            # bare references to joined right-table columns (dialect
+            # allows them when unambiguous) → flattened names
+            def rep_bare(m):
+                w = m.group(1)
+                if m.group(2) == "(":  # function call
+                    return m.group(0)
+                return bare.get(w.lower(), w) + m.group(2)
+
+            out = re.sub(r"(?<![\.\w])([A-Za-z_]\w*)\b(?!\.)(\s*\(|)", rep_bare, out)
+        return out
 
     # -- execution ----------------------------------------------------------
 
@@ -381,6 +473,23 @@ class SqlEngine:
         # backtick-quoted identifiers are plain names in this dialect;
         # '!expr' prefix negation (dialect) → ANSI NOT (keep '!=')
         q = text.replace("`", "").strip().rstrip(";").strip()
+        q = _strip_hash_comments(q)
+        # a fully parenthesized statement is its inner statement
+        while q.startswith("(") and q.endswith(")"):
+            depth = 0
+            whole = True
+            for i, ch in enumerate(q):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0 and i < len(q) - 1:
+                        whole = False
+                        break
+            inner = q[1:-1].strip()
+            if not whole or not re.match(r"(?is)^(select|with)\b", inner):
+                break
+            q = inner
         q = re.sub(r"!(?!=)\s*", "NOT ", q)
         # dialect spellings Spark lacks
         q = re.sub(r"(?i)\bMOD\b(?!\s*\()", "%", q)
@@ -389,6 +498,36 @@ class SqlEngine:
         q = re.sub(r"(?i)\bint16\s*\(", "smallint(", q)
         q = re.sub(r"(?i)\bint32\s*\(", "int(", q)
         q = re.sub(r"(?i)\bint64\s*\(", "bigint(", q)
+        q = re.sub(r"(?i)\bweek\s*\(", "weekofyear(", q)
+        q = re.sub(r"(?i)\bis_null\s*\(", "isnull(", q)
+        q = _rewrite_like_match(q)
+
+        # WITH ctes: evaluate and register sequentially (shadowing OK)
+        mw = re.match(r"(?is)^\s*WITH\s+(.*)$", q)
+        if mw:
+            rest2 = mw.group(1)
+            while True:
+                mname = re.match(r"(?is)^\s*(\w+)\s+AS\s*\(", rest2)
+                if not mname:
+                    break
+                j = mname.end()
+                depth = 1
+                while j < len(rest2) and depth:
+                    if rest2[j] == "(":
+                        depth += 1
+                    elif rest2[j] == ")":
+                        depth -= 1
+                    j += 1
+                self._local_tables[mname.group(1).lower()] = self.sql(rest2[mname.end(): j - 1])
+                rest2 = rest2[j:].lstrip()
+                if rest2.startswith(","):
+                    rest2 = rest2[1:]
+                else:
+                    break
+            return self._sql(rest2)
+
+        # anonymous inline windows: OVER ( ... ) → synthetic named windows
+        q, anon_defs = _name_inline_windows(q)
 
         # top-level UNION [ALL|DISTINCT] set operation
         parts = _split_set_union(q)
@@ -413,6 +552,13 @@ class SqlEngine:
             win_txt = mwin.group(1)
             limit_txt = mwin.group(2) or ""
             q = q[: mwin.start()].strip()
+        if anon_defs:
+            win_txt = ", ".join(filter(None, [win_txt] + anon_defs))
+            if not limit_txt:
+                ml = re.search(r"(?is)\bLIMIT\s+\d+\s*$", q)
+                if ml:
+                    limit_txt = ml.group(0)
+                    q = q[: ml.start()].strip()
 
         m = re.match(r"(?is)^SELECT\s+(.*?)\s+FROM\s+(.*)$", q)
         if not m:
@@ -438,6 +584,7 @@ class SqlEngine:
         # column map: base table columns keep their names
         self._colmap: dict[tuple[str, str], str] = {}
         self._flat_raw: dict[str, str] = {}  # flattened → original name
+        self._bare_map: dict[str, str] = {}  # bare right-col → flattened
         for al in aliases:
             for c in df.columns:
                 self._colmap[(al, c.lower())] = c
@@ -445,14 +592,14 @@ class SqlEngine:
         for jtxt in joins[1:]:
             jtxt = jtxt.strip()
             mo = re.match(
-                r"(?is)^(\w+)(?:\s+(?:AS\s+)?(\w+))?\s*(?:ORDER\s+BY\s+([\w\.]+)\s*)?ON\s+(.*)$",
+                r"(?is)^(\w+)(?:\s+(?:AS\s+)?(\w+))?\s*(?:ORDER\s+BY\s+([\w\.]+)(?:\s+(ASC|DESC))?\s*)?ON\s+(.*)$",
                 jtxt,
             )
             if not mo:
                 raise ValueError(f"cannot parse LAST JOIN: {jtxt!r}")
             rtbl = mo.group(1).lower()
             ralias = mo.group(2).lower() if mo.group(2) and mo.group(2).lower() not in self._KEYWORDS else None
-            order_ref, cond_txt = mo.group(3), mo.group(4)
+            order_ref, order_dir, cond_txt = mo.group(3), mo.group(4), mo.group(5)
             tail = re.search(r"(?is)\b(WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|LAST\s+JOIN)\b", cond_txt)
             if tail:
                 residual_tail = cond_txt[tail.start():]
@@ -461,12 +608,21 @@ class SqlEngine:
             # prefix right columns to avoid collisions; an explicit base
             # alias shadows the right table's real name (id=23)
             prefix = f"{ralias or rtbl}__"
+            left_cols_now = {c.lower() for c in df.columns}
             for rname in filter(None, (rtbl, ralias)):
                 if rname == rtbl and rname in aliases:
                     continue
                 for c in right.columns:
                     self._colmap[(rname, c.lower())] = f"{prefix}{c}"
                     self._flat_raw[f"{prefix}{c}"] = c
+            for c in right.columns:
+                cl = c.lower()
+                if cl in left_cols_now:
+                    continue  # left name wins for bare references
+                if cl in self._bare_map:
+                    self._bare_map.pop(cl, None)  # ambiguous across rights
+                else:
+                    self._bare_map[cl] = f"{prefix}{c}"
 
             # split conjunction into equi keys / asof / residual;
             # the right table's real name is shadowed by a base alias
@@ -489,7 +645,8 @@ class SqlEngine:
                 else:
                     residual.append(cl)
             order_raw = order_ref.split(".")[-1] if order_ref else None
-            pick = "max"
+            # "last" of an ASC iteration is the max; of DESC, the min
+            pick = "min" if (order_dir or "").lower() == "desc" else "max"
             if order_raw is None and rtbl in self.index_ts:
                 # unordered LAST JOIN follows storage iteration order:
                 # newest index-ts first, first match kept ⇒ max index ts
@@ -555,11 +712,15 @@ class SqlEngine:
             if not calls:
                 expr = self._rewrite_refs(body)
                 mcol = re.fullmatch(r"(\w+)\.(\w+)", body.strip())
+                mbare = re.fullmatch(r"[A-Za-z_]\w*", body.strip())
                 if alias:
                     plain_items.append(f"{expr} AS {alias}")
                 elif mcol and expr != mcol.group(2):
                     # unaliased t.col keeps the bare column output name
                     plain_items.append(f"{expr} AS {mcol.group(2)}")
+                elif mbare and expr != body.strip():
+                    # bare right-table column keeps its original name
+                    plain_items.append(f"{expr} AS {body.strip()}")
                 elif not re.fullmatch(r"[\w\.]+|\*", body.strip()):
                     # unaliased expressions are named by their (deprefixed)
                     # source text, matching the reference's output naming
@@ -617,11 +778,11 @@ class SqlEngine:
         ``UNION (select * from t1)``)."""
         t = name.strip()
         if t.startswith("("):
-            saved = self._colmap
+            saved = (self._colmap, getattr(self, "_bare_map", {}))
             try:
                 return self.sql(t[1:-1])
             finally:
-                self._colmap = saved
+                self._colmap, self._bare_map = saved
         return self._table(t)
 
     def _ref_col(self, ref: str) -> str:

@@ -28,6 +28,9 @@ _TYPES = {
     "string": T.StringType(),
     "date": T.DateType(),
     "timestamp": T.TimestampType(),
+    "i16": T.ShortType(),
+    "i32": T.IntegerType(),
+    "i64": T.LongType(),
 }
 
 
@@ -135,14 +138,27 @@ def expand_case(case: dict) -> list[dict]:
         c["id"] = f"{case.get('id')}[{','.join(map(str, combo))}]"
         ep = case.get("expectProvider")
         if ep is not None:
-            # keyed by the first provider's index (single-list corpus)
-            key = combo_idx if combo_idx in ep else str(combo_idx)
-            if key in ep:
+            # nested dicts keyed by per-dimension indices
+            idxs = []
+            rem = combo_idx
+            for plist in reversed(providers):
+                idxs.append(rem % len(plist))
+                rem //= len(plist)
+            idxs.reverse()
+            node = ep
+            for ix in idxs:
+                if isinstance(node, dict) and (ix in node or str(ix) in node):
+                    node = node.get(ix, node.get(str(ix)))
+                else:
+                    break
+            if isinstance(node, dict) and any(
+                k in node for k in ("rows", "columns", "data", "schema", "success", "order")
+            ):
                 exp = dict(case.get("expect", {}))
-                exp.update(ep[key])
+                exp.update(node)
                 c["expect"] = exp
-            elif len(providers) > 1:
-                c["expect"] = {}  # multi-list providers unsupported → skip
+            elif ep is not None and len(providers) > 1:
+                c["expect"] = {}  # unresolvable → skip
         out.append(c)
     return out
 

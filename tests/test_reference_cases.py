@@ -28,6 +28,13 @@ FILES = (
         "/root/reference/cases/query/last_join_where.yaml",
         "/root/reference/cases/query/limit.yaml",
         "/root/reference/cases/query/operator_query.yaml",
+        "/root/reference/cases/query/window_query.yaml",
+        "/root/reference/cases/query/last_join_query.yaml",
+        "/root/reference/cases/query/last_join_window_query.yaml",
+        "/root/reference/cases/query/window_with_union_query.yaml",
+        "/root/reference/cases/query/union_query.yml",
+        "/root/reference/cases/query/udf_query.yaml",
+        "/root/reference/cases/query/with.yaml",
     ]
 )
 
@@ -46,6 +53,20 @@ KNOWN_DIVERGENCES = {
     ("simple_query.yaml", "4-2"): "timestamp + integer arithmetic (dialect implicit cast)",
     ("simple_query.yaml", "4-3"): "timestamp arithmetic (dialect implicit cast)",
     ("simple_query.yaml", "4-4"): "timestamp arithmetic (dialect implicit cast)",
+    ("window_query.yaml", "22"): "nth_value_where not implemented",
+    ("window_query.yaml", "23"): "isnull-of-window-call coercion corner",
+    ("union_query.yml", "0"): "unordered LAST JOIN on index-less union subquery (storage-order defined)",
+    ("union_query.yml", "1"): "unordered LAST JOIN on index-less union subquery (storage-order defined)",
+    ("union_query.yml", "5"): "bare column through WINDOW UNION subquery",
+    ("udf_query.yaml", "5"): "hour()/day() computed in the reference's local tz (Asia/Shanghai), engine pins UTC",
+    ("udf_query.yaml", "like_udf_const_null_string"): "'NULL string' typed-null literal syntax",
+    ("udf_query.yaml", "ilike_udf_const_null_string"): "'NULL string' typed-null literal syntax",
+    ("udf_query.yaml", "array_contains"): "[...] array literal syntax",
+    ("udf_query.yaml", "array_split"): "[...] array literal syntax",
+    ("udf_query.yaml", "13"): "array literal / lambda syntax",
+    ("udf_query.yaml", "14"): "array literal / lambda syntax",
+    ("udf_query.yaml", "16"): "array literal / lambda syntax",
+    ("udf_query.yaml", "18"): "array literal / lambda syntax",
 }
 # parametrized families excluded by prefix (dialect NULL-semantics of
 # IN-lists with NULL members differs from Spark's three-valued logic)
