@@ -430,6 +430,68 @@ def q_backfill_transcripts(spark, sf_dir):
     return out.drop("__is_tool__")
 
 
+def q_nth_value_where_window(spark, sf_dir):
+    """nth_value_where (window_functions_def.cc:283): 2nd matching row
+    from the frame start, matches = event_type = 'click'."""
+    from openmldb_spark.operators.window import Agg, WindowSpec, window_agg
+
+    ev = _t(spark, sf_dir, "events").withColumn("is_click", F.col("event_type") == "click")
+    spec = WindowSpec(["user_id"], "ts", "rows", 10, tiebreak=["event_id"])
+    out = window_agg(ev, spec, [
+        Agg("nth_value_where", "value", "nv2", cond="is_click", n=2),
+        Agg("nth_value_where", "value", "nv_last", cond="is_click", n=-1),
+    ], impl="kernel")
+    return out.select("event_id", "user_id", _r6("nv2").alias("nv2"),
+                      _r6("nv_last").alias("nv_last"))
+
+
+def q_topn_cate_window(spark, sf_dir):
+    """top_n_key_count_cate_where + top1_ratio + topn_frequency
+    (agg_by_category_def.cc / feature_zero_def.cc)."""
+    from openmldb_spark.operators.window import Agg, WindowSpec, window_agg
+
+    ev = _t(spark, sf_dir, "events").withColumn("big", F.col("value") > 100)
+    spec = WindowSpec(["user_id"], "ts", "rows", 10, tiebreak=["event_id"])
+    out = window_agg(ev, spec, [
+        Agg("top_n_key_count_cate_where", "value", "tkc", cond="big",
+            cate="event_type", n=2),
+        Agg("top1_ratio", "event_type", "t1r"),
+        Agg("topn_frequency", "event_type", "tf", n=2),
+    ], impl="kernel")
+    return out.select("event_id", "user_id", "tkc", _r6("t1r").alias("t1r"), "tf")
+
+
+def q_fz_split_window(spark, sf_dir):
+    """Feature-zero window splits (feature_zero_def.cc): per-row kv
+    strings split across the frame, newest-first concatenation."""
+    from openmldb_spark.operators.window import Agg, WindowSpec, window_agg
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "kv", F.concat_ws(":", F.col("event_type"), F.col("event_id").cast("string")))
+    spec = WindowSpec(["user_id"], "ts", "rows", 5, tiebreak=["event_id"])
+    out = window_agg(ev, spec, [
+        Agg("join", "kv", "keys_j", split=("split_by_key", ",", ":"), sep=" "),
+        Agg("count", "kv", "tok_cnt", split=("split", ",", None)),
+        Agg("distinct_count", "kv", "key_dc", split=("split_by_key", ",", ":")),
+    ], impl="kernel")
+    return out.select("event_id", "user_id", "keys_j", "tok_cnt", "key_dc")
+
+
+def q_left_join(spark, sf_dir):
+    """Plain LEFT JOIN through the SQL front-end (JoinPlan.scala:159)."""
+    from openmldb_spark.sql import SqlEngine
+
+    eng = SqlEngine(spark)
+    eng.register("nation", _t(spark, sf_dir, "nation"))
+    eng.register("region", _t(spark, sf_dir, "region"))
+    out = eng.sql(
+        "select n_nationkey, n_name, r_name from nation "
+        "left join region on nation.n_regionkey = region.r_regionkey "
+        "and region.r_regionkey < 3"
+    )
+    return out
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_backfill_transcripts(spark, SF_DEFAULT)
@@ -469,6 +531,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "lsh_topk": q_lsh_topk,
         "backfill_transcripts": q_backfill_transcripts,
+        "nth_value_where_window": q_nth_value_where_window,
+        "topn_cate_window": q_topn_cate_window,
+        "fz_split_window": q_fz_split_window,
+        "left_join": q_left_join,
     }
 
 
@@ -756,6 +822,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine,
                    CAST(rank AS BIGINT) AS rank
             FROM ranked WHERE rank <= 5
+        """,
+        "nth_value_where_window": _RN_CTE + """
+            SELECT a.event_id, a.user_id,
+              ROUND((SELECT v.value FROM r v WHERE v.user_id = a.user_id
+                 AND v.rn BETWEEN a.rn - 10 AND a.rn AND v.event_type = 'click'
+                 ORDER BY v.rn LIMIT 1 OFFSET 1), 6) AS nv2,
+              ROUND((SELECT v.value FROM r v WHERE v.user_id = a.user_id
+                 AND v.rn BETWEEN a.rn - 10 AND a.rn AND v.event_type = 'click'
+                 ORDER BY v.rn DESC LIMIT 1), 6) AS nv_last
+            FROM r a
+        """,
+        "topn_cate_window": _RN_CTE + """
+            SELECT a.event_id, a.user_id,
+              COALESCE((
+                SELECT STRING_AGG(k || ':' || CAST(c AS VARCHAR), ',' ORDER BY k DESC)
+                FROM (SELECT v.event_type AS k, COUNT(*) AS c
+                      FROM r v WHERE v.user_id = a.user_id
+                        AND v.rn BETWEEN a.rn - 10 AND a.rn AND v.value > 100
+                      GROUP BY 1 ORDER BY k DESC LIMIT 2) s
+              ), '') AS tkc,
+              ROUND((
+                SELECT MAX(c) * 1.0 / SUM(c)
+                FROM (SELECT COUNT(*) AS c FROM r v WHERE v.user_id = a.user_id
+                        AND v.rn BETWEEN a.rn - 10 AND a.rn
+                      GROUP BY v.event_type) s
+              ), 6) AS t1r,
+              (
+                SELECT STRING_AGG(k, ',' ORDER BY c DESC, k)
+                       || REPEAT(',NULL', 2 - COUNT(*))
+                FROM (SELECT v.event_type AS k, COUNT(*) AS c
+                      FROM r v WHERE v.user_id = a.user_id
+                        AND v.rn BETWEEN a.rn - 10 AND a.rn
+                      GROUP BY 1 ORDER BY c DESC, k LIMIT 2) s
+              ) AS tf
+            FROM r a
+        """,
+        "fz_split_window": _RN_CTE + """
+            SELECT a.event_id, a.user_id,
+              (SELECT STRING_AGG(v.event_type, ' ' ORDER BY v.rn DESC)
+                 FROM r v WHERE v.user_id = a.user_id
+                   AND v.rn BETWEEN a.rn - 5 AND a.rn) AS keys_j,
+              (SELECT COUNT(*) FROM r v WHERE v.user_id = a.user_id
+                 AND v.rn BETWEEN a.rn - 5 AND a.rn) AS tok_cnt,
+              (SELECT COUNT(DISTINCT v.event_type) FROM r v WHERE v.user_id = a.user_id
+                 AND v.rn BETWEEN a.rn - 5 AND a.rn) AS key_dc
+            FROM r a
+        """,
+        "left_join": """
+            SELECT n_nationkey, n_name, r_name FROM nation
+            LEFT JOIN region ON nation.n_regionkey = region.r_regionkey
+              AND region.r_regionkey < 3
         """,
         # minhash_pairs / simhash_pairs / lsh_topk / backfill_transcripts:
         # non-SQL-expressible (hash-based discovery) → rows-only check

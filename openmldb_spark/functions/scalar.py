@@ -70,8 +70,14 @@ def strcmp(a, b):
 
 
 def like_match(col, pattern, escape=None):
+    # Column.like takes no escape arg in PySpark — build the ESCAPE
+    # form as a SQL expression ('' disables escaping, dialect rule)
     c = _c(col)
-    return c.like(pattern) if escape is None else c.like(pattern, escape)
+    if escape is None or escape == "":
+        return c.like(pattern)
+    pat = pattern.replace("'", "\\'") if isinstance(pattern, str) else pattern
+    esc = escape.replace("'", "\\'")
+    return F.expr(f"{c._jc.toString()} LIKE '{pat}' ESCAPE '{esc}'")
 
 
 def ilike_match(col, pattern):

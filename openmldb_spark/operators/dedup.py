@@ -25,6 +25,24 @@ from pyspark.sql import functions as F
 
 from openmldb_spark.operators.text import fingerprint
 
+_LAST_PERSIST = []  # bounded cache accretion across repeated calls
+
+
+def _cap_buckets(banded: DataFrame, bucket_col: str, cap: int) -> DataFrame:
+    """Drop degenerate LSH buckets larger than ``cap`` — one viral /
+    boilerplate bucket otherwise turns the self-join quadratic at
+    100 TB (standard LSH practice; dropped buckets mean those docs are
+    only compared through their other bands/segments)."""
+    if not cap:
+        return banded
+    w = Window.partitionBy(bucket_col)
+    return (
+        banded.withColumn("__bn__", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bn__") <= cap)
+        .drop("__bn__")
+    )
+
+
 __all__ = [
     "exact_dedup",
     "shingles",
@@ -95,6 +113,7 @@ def minhash_dedup(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.7,
     seed: int = 42,
+    max_bucket_size: int = 2000,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash + LSH banding,
     verified with exact shingle Jaccard.
@@ -111,6 +130,9 @@ def minhash_dedup(
     # the shingle table feeds both the signature pass and the exact
     # verify join — persist so shingling (regexp-heavy) runs once
     base = base.persist()
+    while _LAST_PERSIST:
+        _LAST_PERSIST.pop().unpersist(False)
+    _LAST_PERSIST.append(base)
     sig = base.withColumn("__sig__", minhash_signature(F.col("__sh__"), num_hashes, seed))
 
     band_cols = [
@@ -122,6 +144,7 @@ def minhash_dedup(
     # band-bucket join on ids ONLY — shingle arrays would otherwise ride
     # the bands×docs shuffle; they're re-joined for candidates below
     banded = sig.select("__id__", F.explode(F.array(*band_cols)).alias("__band__"))
+    banded = _cap_buckets(banded, "__band__", max_bucket_size)
     a = banded.select(F.col("__id__").alias("id_a"), "__band__")
     b = banded.select(F.col("__id__").alias("id_b"), "__band__")
     pairs = (
@@ -182,6 +205,7 @@ def simhash_dedup(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     seed: int = 42,
+    max_bucket_size: int = 2000,
 ) -> DataFrame:
     """Near-dup pairs with simhash hamming distance ≤ max_hamming.
 
@@ -202,6 +226,7 @@ def simhash_dedup(
         for i in range(nseg)
     ]
     banded = h.select("__id__", "__h__", F.explode(F.array(*segs)).alias("__seg__"))
+    banded = _cap_buckets(banded, "__seg__", max_bucket_size)
     a = banded.select(F.col("__id__").alias("id_a"), F.col("__h__").alias("__ha__"), "__seg__")
     b = banded.select(F.col("__id__").alias("id_b"), F.col("__h__").alias("__hb__"), "__seg__")
     pairs = (
@@ -255,10 +280,14 @@ def embedding_cosine_dedup(
     n_planes: int = 16,
     seed: int = 42,
     dim: int | None = None,
+    max_bucket_size: int = 2000,
 ) -> DataFrame:
     """Near-dup embedding pairs: random-hyperplane LSH sign-bucket +
     exact cosine verification. Planes are a deterministic driver-side
-    constant (n_planes × dim floats) shipped as literals — no UDF."""
+    constant (n_planes × dim floats) shipped as literals — no UDF.
+
+    Pass ``dim`` explicitly at scale: inferring it runs a driver-side
+    ``first()`` job over the input."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
@@ -281,6 +310,7 @@ def embedding_cosine_dedup(
     norm = F.sqrt(F.aggregate(F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x))
 
     h = df.select(F.col(id_col).alias("__id__"), v.alias("__v__"), sig.alias("__b__"), norm.alias("__n__"))
+    h = _cap_buckets(h, "__b__", max_bucket_size)
     a = h.select(F.col("__id__").alias("id_a"), F.col("__v__").alias("va"), F.col("__n__").alias("na"), "__b__")
     b = h.select(F.col("__id__").alias("id_b"), F.col("__v__").alias("vb"), F.col("__n__").alias("nb"), "__b__")
     pairs = (

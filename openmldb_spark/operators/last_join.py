@@ -159,6 +159,17 @@ def _rownum_join(left, right, keys, order_by, condition,
     return out
 
 
+def _check_collisions(left, right2, key_cols, rts_out):
+    """Left/right output-name collisions fail analysis deep inside the
+    plan — raise a readable error up front (pass right_prefix)."""
+    overlap = (set(right2.columns) - set(key_cols)) & set(left.columns)
+    if overlap:
+        raise ValueError(
+            f"last_join: right columns {sorted(overlap)} collide with left "
+            f"output names — pass right_prefix to rename the right side"
+        )
+
+
 def _union_asof_join(left, right, keys, lts, rts, strict, right_prefix):
     """Fully native as-of join: union both sides into one per-key
     timeline, sort, and carry the newest right row forward with
@@ -180,6 +191,7 @@ def _union_asof_join(left, right, keys, lts, rts, strict, right_prefix):
     key_cols = [lk for lk, _ in keys]
     right2, m = _renamed_right(right, [(k, k) for k in key_cols], right_prefix)
     rts_out = m[rts]
+    _check_collisions(left, right2, key_cols, rts_out)
     right_val_cols = [c for c in right2.columns if c not in key_cols]
     left_only = [c for c in left.columns if c not in key_cols and c != lts]
 
@@ -230,6 +242,7 @@ def _merge_asof_join(left, right, keys, lts, rts, strict, right_prefix):
     key_cols = [lk for lk, _ in keys]
     right2, m = _renamed_right(right, [(k, k) for k in key_cols], right_prefix)
     rts_out = m[rts]
+    _check_collisions(left, right2, key_cols, rts_out)
 
     right_val_cols = [c for c in right2.columns if c not in key_cols]
     out_fields = list(left.schema.fields) + [

@@ -33,10 +33,15 @@ from openmldb_spark.operators.window import (
     _EMIT,
     Agg,
     WindowSpec,
+    format_int_cols,
     make_kernel,
     result_schema,
     with_flags,
 )
+
+# last persisted hot-subset — unpersisted when the next skewed window
+# call persists a new one, bounding cache accretion in long sessions
+_LAST_HOT = []
 
 __all__ = ["window_agg_skewed"]
 
@@ -98,6 +103,9 @@ def window_agg_skewed(
     # branches don't each re-scan the full table (hot rows are a bounded
     # fraction by construction, safe to cache even at 10^12 total rows).
     hot = tagged.filter(F.col("__qs__").isNotNull()).persist()
+    while _LAST_HOT:
+        _LAST_HOT.pop().unpersist(False)
+    _LAST_HOT.append(hot)
     copies = []
     if spec.preceding is None:
         for i in range(1, quantiles):
@@ -117,10 +125,13 @@ def window_agg_skewed(
                 .withColumn(_BUCKET, F.lit(i))
                 .withColumn(_EMIT, F.lit(0))
             )
-    else:  # ROWS n: the n newest rows of each earlier bucket suffice
+    else:  # ROWS n: the n newest rows of each earlier bucket suffice;
+        # lag/at are buffer-positional and ignore the frame bound, so
+        # the replication depth must also cover the largest lag offset
         from pyspark.sql import Window as W
 
-        n_rows = int(spec.preceding)
+        max_lag = max((a.n for a in aggs if a.func in ("lag", "at")), default=0)
+        n_rows = max(int(spec.preceding), max_lag)
         wdesc = W.partitionBy(*keys, _BUCKET).orderBy(
             F.col("__oms__").desc(), *[F.col(c).desc() for c in spec.tiebreak]
         )
@@ -142,5 +153,5 @@ def window_agg_skewed(
 
     out_cols = list(df.columns)
     result_fields, out_schema = result_schema(df, aggs)
-    kernel = make_kernel(spec, aggs, out_cols, result_fields)
+    kernel = make_kernel(spec, aggs, out_cols, result_fields, format_int_cols(df, aggs))
     return run_kernel_partitioned(expanded, keys + [_BUCKET], kernel, out_schema)

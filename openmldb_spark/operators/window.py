@@ -566,7 +566,8 @@ def _fmt_scalar(x) -> str:
 
 
 def _is_na(x) -> bool:
-    return x is None or x is pd.NaT or (isinstance(x, float) and x != x)
+    return (x is None or x is pd.NaT or x is pd.NA
+            or (isinstance(x, (float, np.floating)) and x != x))
 
 
 def _bool_mask(s: pd.Series) -> np.ndarray:
@@ -944,8 +945,15 @@ def _eval_generic(agg: Agg, pdf: pd.DataFrame, lo, seg_hi, inc_cur,
     if _TOPN_CATE_RE.match(fn):
         return _eval_topn_cate(agg, pdf, lo, seg_hi, inc_cur, emit_pos,
                                 seg_mask if seg_mask is not cur_mask else None)
-    vals = pdf[agg.col].to_numpy() if agg.col else None
-    cate = pdf[agg.cate].to_numpy() if agg.cate else None
+    def _objvals(c):
+        s = pdf[c]
+        if pd.api.types.is_extension_array_dtype(s.dtype):
+            # nullable Int64 etc. — to_numpy() would degrade to float64
+            return s.to_numpy(dtype=object, na_value=None)
+        return s.to_numpy()
+
+    vals = _objvals(agg.col) if agg.col else None
+    cate = _objvals(agg.cate) if agg.cate else None
     col_is_float = agg.col is not None and pd.api.types.is_float_dtype(pdf[agg.col].dtype)
     n = len(pdf)
     out = np.full(n, None, dtype=object)
@@ -970,7 +978,7 @@ def _eval_generic(agg: Agg, pdf: pd.DataFrame, lo, seg_hi, inc_cur,
             else:
                 v = pd.to_numeric(pd.Series([vals[j] for j in idxs]), errors="coerce").to_numpy(dtype="float64")
         if fn == "entropy":
-            x = [vals[j] for j in idxs if vals[j] is not None and vals[j] == vals[j]]
+            x = [vals[j] for j in idxs if not _is_na(vals[j])]
             if x:
                 _, cnts = np.unique(np.array(x, dtype=object).astype(str), return_counts=True)
                 p = cnts / cnts.sum()
@@ -984,7 +992,7 @@ def _eval_generic(agg: Agg, pdf: pd.DataFrame, lo, seg_hi, inc_cur,
                 w = (1.0 - agg.param) ** np.arange(len(x))
                 out[i] = float((x * w).sum() / w.sum())
         elif fn == "top":
-            x = sorted([vals[j] for j in idxs if vals[j] is not None and vals[j] == vals[j]], reverse=True)
+            x = sorted([vals[j] for j in idxs if not _is_na(vals[j])], reverse=True)
             out[i] = ",".join(_fmt_scalar(e) for e in x[: agg.n])
         elif fn == "topn_frequency":
             # pads to exactly n with 'NULL'; a frame with zero rows
@@ -1072,7 +1080,24 @@ def result_schema(df: DataFrame, aggs: list[Agg]) -> tuple[list, T.StructType]:
     return result_fields, T.StructType(list(in_schema.fields) + result_fields)
 
 
-def make_kernel(spec: WindowSpec, aggs: list[Agg], out_cols: list[str], result_fields: list):
+def format_int_cols(df: DataFrame, aggs: list[Agg]) -> frozenset:
+    """Value/category columns that are integral Spark-side but arrive
+    float64 through Arrow (nullable ints) — the kernel restores them to
+    nullable Int64 so string-emitting aggregates format '1' not
+    '1.000000' (reference formats by static type, udf.cc:1239)."""
+    int_like = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    cols = set()
+    for a in aggs:
+        if (a.func in ("top", "topn_frequency") or a.func in _CATE
+                or a.func in _CATE_WHERE or _TOPN_CATE_RE.match(a.func)):
+            for c in (a.col, a.cate):
+                if c and isinstance(df.schema[c].dataType, int_like):
+                    cols.add(c)
+    return frozenset(cols)
+
+
+def make_kernel(spec: WindowSpec, aggs: list[Agg], out_cols: list[str], result_fields: list,
+                int_cols: frozenset = frozenset()):
     """Build the per-group pandas kernel (shared by window_agg and the
     skew-salted variant in skew.py).
 
@@ -1114,6 +1139,9 @@ def make_kernel(spec: WindowSpec, aggs: list[Agg], out_cols: list[str], result_f
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         # drop NULL-order-key rows entirely (WindowAggPlan.scala:788-795)
         pdf = pdf[pdf[order_col].notna()]
+        for c in int_cols:
+            if c in pdf.columns and pd.api.types.is_float_dtype(pdf[c].dtype):
+                pdf = pdf.assign(**{c: pdf[c].astype("Int64")})
         if not len(pdf):
             out = pdf[out_cols].copy()
             for a in aggs_b:
@@ -1134,7 +1162,7 @@ def make_kernel(spec: WindowSpec, aggs: list[Agg], out_cols: list[str], result_f
             out = pdf[out_cols].copy()
             for k, v in res.items():
                 out[k] = v
-            return _to_int(out[emit])
+            return _to_int(out[emit].copy())
 
         lo, seg_hi, inc_cur = _frame_bounds(spec_b, ok, emit)
 
@@ -1435,5 +1463,5 @@ def _kernel_window_agg(
     out_cols = list(df.columns)
     result_fields, out_schema = result_schema(df, aggs)
     work = with_flags(df, union)
-    kernel = make_kernel(spec, aggs, out_cols, result_fields)
+    kernel = make_kernel(spec, aggs, out_cols, result_fields, format_int_cols(df, aggs))
     return run_kernel_partitioned(work, list(spec.partition_by), kernel, out_schema)

@@ -16,7 +16,10 @@ to parquet and reload) into a first-class production mechanism:
 - ``PipelineReport`` aggregates the metrics for ops dashboards.
 
 Works identically under ``spark-submit`` on a real cluster: the
-checkpoint dir just needs to be shared storage (HDFS/S3/DBFS path).
+checkpoint dir just needs to be shared storage — manifest and lineage
+IO go through ``pyarrow.fs`` (resolved from the URI scheme), so
+``hdfs://`` / ``s3://`` checkpoint dirs work wherever pyarrow has the
+matching filesystem support; plain paths use the local filesystem.
 """
 
 from __future__ import annotations
@@ -34,6 +37,15 @@ __all__ = ["Stage", "CheckpointedPipeline", "StageResult"]
 MANIFEST = "_manifest.json"
 
 
+def _fs_for(path: str):
+    """(pyarrow FileSystem, fs-local path) for a local path or URI."""
+    from pyarrow import fs as pafs
+
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), os.path.abspath(path)
+
+
 def _plan_fingerprint(df: DataFrame) -> str:
     """Stable-ish fingerprint of a stage's logical plan + input stages."""
     import hashlib
@@ -44,20 +56,26 @@ def _plan_fingerprint(df: DataFrame) -> str:
     return hashlib.sha256(plan.encode()).hexdigest()[:16]
 
 
-def _partition_lineage(path: str) -> list[dict]:
+def _partition_lineage(path: str, fs=None) -> list[dict]:
     """Per-output-file lineage from parquet footers (no data pass)."""
     import pyarrow.parquet as pq
+    from pyarrow import fs as pafs
 
+    if fs is None:
+        fs, p = _fs_for(path)
+    else:
+        p = path
     out = []
-    for name in sorted(os.listdir(path)):
-        if not name.endswith(".parquet"):
+    infos = fs.get_file_info(pafs.FileSelector(p))
+    for info in sorted(infos, key=lambda i: i.base_name):
+        if not info.base_name.endswith(".parquet"):
             continue
-        f = os.path.join(path, name)
-        md = pq.read_metadata(f)
+        with fs.open_input_file(info.path) as f:
+            md = pq.read_metadata(f)
         out.append({
-            "file": name,
+            "file": info.base_name,
             "rows": md.num_rows,
-            "bytes": os.path.getsize(f),
+            "bytes": info.size,
             "row_groups": md.num_row_groups,
         })
     return out
@@ -86,7 +104,8 @@ class CheckpointedPipeline:
         self.spark = spark
         self.dir = checkpoint_dir
         self.stages: list[Stage] = []
-        os.makedirs(checkpoint_dir, exist_ok=True)
+        self._fs, self._fs_dir = _fs_for(checkpoint_dir)
+        self._fs.create_dir(self._fs_dir, recursive=True)
 
     def stage(self, name: str, fn, depends_on: tuple[str, ...] = ()) -> "CheckpointedPipeline":
         self.stages.append(Stage(name, fn, tuple(depends_on)))
@@ -98,12 +117,18 @@ class CheckpointedPipeline:
     def _manifest_path(self, name: str) -> str:
         return os.path.join(self._stage_path(name), MANIFEST)
 
+    def _fs_path(self, *parts: str) -> str:
+        return "/".join([self._fs_dir, *parts])
+
     def _load_manifest(self, name: str) -> dict | None:
-        p = self._manifest_path(name)
-        if os.path.exists(p) and os.path.exists(os.path.join(self._stage_path(name), "_SUCCESS")):
-            with open(p) as f:
-                return json.load(f)
-        return None
+        from pyarrow import fs as pafs
+
+        man = self._fs.get_file_info(self._fs_path(name, MANIFEST))
+        ok = self._fs.get_file_info(self._fs_path(name, "_SUCCESS"))
+        if man.type == pafs.FileType.NotFound or ok.type == pafs.FileType.NotFound:
+            return None
+        with self._fs.open_input_stream(man.path) as f:
+            return json.loads(f.read().decode())
 
     def run(self, force: bool = False) -> dict[str, StageResult]:
         """Execute all stages, resuming from valid checkpoints.
@@ -139,7 +164,7 @@ class CheckpointedPipeline:
             df.write.mode("overwrite").parquet(path)
             wall = time.time() - t0
             out_df = self.spark.read.parquet(path)
-            lineage = _partition_lineage(path)
+            lineage = _partition_lineage(self._fs_path(st.name), self._fs)
             rows = sum(p["rows"] for p in lineage)
             manifest = {
                 "stage": st.name,
@@ -151,8 +176,8 @@ class CheckpointedPipeline:
                 "partitions": lineage,
                 "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
-            with open(self._manifest_path(st.name), "w") as f:
-                json.dump(manifest, f, indent=1)
+            with self._fs.open_output_stream(self._fs_path(st.name, MANIFEST)) as f:
+                f.write(json.dumps(manifest, indent=1).encode())
             outputs[st.name] = out_df
             dirty.add(st.name)
             results[st.name] = StageResult(st.name, False, rows, wall, path, lineage)

@@ -67,6 +67,24 @@ def _conv(v, dt):
     return v
 
 
+def _unesc(s: str) -> str:
+    """One C-style unescape pass (reference sql_case loader). Input
+    data rows are unescaped once (the INSERT string literal); expected
+    rows are compared raw — test_like.yaml id=8."""
+    if "\\" not in s:
+        return s
+    out, i = [], 0
+    while i < len(s):
+        if s[i] == "\\" and i + 1 < len(s):
+            nxt = s[i + 1]
+            out.append({"n": "\n", "t": "\t", "r": "\r", "0": "\0"}.get(nxt, nxt))
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return "".join(out)
+
+
 def _literal(tok: str):
     t = tok.strip()
     if t.lower() in ("null", "none", ""):
@@ -104,8 +122,14 @@ def build_df(spark, inp: dict):
             for line in inp["data"].strip().splitlines()
             if line.strip()
         ]
+    def conv_in(v, dt):
+        v = _conv(v, dt)
+        if isinstance(v, str):
+            v = _unesc(v)
+        return v
+
     rows = [
-        tuple(_conv(v, f.dataType) for v, f in zip(r, schema.fields))
+        tuple(conv_in(v, f.dataType) for v, f in zip(r, schema.fields))
         for r in raw or []
     ]
     return spark.createDataFrame(rows, schema=schema)
@@ -188,7 +212,10 @@ def run_case(spark, case: dict):
             inp = _load_resource(inp["resource"])
         name = inp.get("name", f"t{i}")
         index_ts = None
-        for idx in inp.get("indexs") or []:
+        idxs = inp.get("indexs")
+        if idxs is None and inp.get("index"):
+            idxs = [inp["index"]] if isinstance(inp["index"], str) else inp["index"]
+        for idx in idxs or []:
             parts = str(idx).split(":")
             if len(parts) >= 3 and parts[2]:
                 index_ts = parts[2]

@@ -18,7 +18,13 @@ from tests.reference_cases import load_cases, run_case
 FILES = (
     sorted(glob.glob("/root/reference/cases/function/window/*.yaml"))
     + sorted(glob.glob("/root/reference/cases/function/join/*.yaml"))
+    + sorted(glob.glob("/root/reference/cases/function/expression/*.yaml"))
     + [
+        "/root/reference/cases/function/test_feature_zero_function.yaml",
+        "/root/reference/cases/query/udaf_query.yaml",
+        "/root/reference/cases/query/left_join.yml",
+        "/root/reference/cases/query/last_join_subquery_window.yml",
+        "/root/reference/cases/query/const_query.yaml",
         "/root/reference/cases/function/select/test_select_sample.yaml",
         "/root/reference/cases/function/select/test_where.yaml",
         "/root/reference/cases/query/simple_query.yaml",
@@ -46,14 +52,15 @@ KNOWN_DIVERGENCES = {
         "parallelization ConcatJoin path; single-window cases (id=3) and "
         "its own TODO-tagged id=26 say NULL — we emit NULL consistently"
     ),
-    ("group_query.yaml", "8"): "count_cate in GROUP BY context not implemented",
     ("last_join_where.yaml", "1"): "same right table joined twice (prefix collision)",
+    ("udaf_query.yaml", "5"): (
+        "window call nested in an aggregate argument: the reference "
+        "evaluates first_value at the OUTPUT row's buffer while column "
+        "refs iterate frame rows (anchor-dependent mixed evaluation); "
+        "the engine evaluates both per frame row"
+    ),
     ("operator_query.yaml", "6"): "parenthesized tuple comparison syntax",
-    ("simple_query.yaml", "4-1"): "timestamp + integer arithmetic (dialect implicit cast)",
-    ("simple_query.yaml", "4-2"): "timestamp + integer arithmetic (dialect implicit cast)",
-    ("simple_query.yaml", "4-3"): "timestamp arithmetic (dialect implicit cast)",
-    ("simple_query.yaml", "4-4"): "timestamp arithmetic (dialect implicit cast)",
-    ("window_query.yaml", "22"): "nth_value_where not implemented",
+    ("simple_query.yaml", "4-2"): "case SQL uses undefined function 'timestampaddd' (typo in corpus)",
     ("window_query.yaml", "23"): "isnull-of-window-call coercion corner",
     ("union_query.yml", "0"): "unordered LAST JOIN on index-less union subquery (storage-order defined)",
     ("union_query.yml", "1"): "unordered LAST JOIN on index-less union subquery (storage-order defined)",
@@ -72,7 +79,10 @@ KNOWN_DIVERGENCES = {
 # IN-lists with NULL members differs from Spark's three-valued logic)
 KNOWN_PREFIXES = {
     ("simple_query.yaml", "in_predicate"): "IN/NOT IN NULL-member semantics",
-    ("simple_query.yaml", "like_predicate_10"): "empty ESCAPE string disables escaping",
+    ("test_predicate.yaml", "3["): (
+        "timestamp vs string comparison: the reference renders/parses "
+        "timestamps in its build tz (Asia/Shanghai), engine pins UTC"
+    ),
 }
 
 
