@@ -477,6 +477,27 @@ def q_fz_split_window(spark, sf_dir):
     return out.select("event_id", "user_id", "keys_j", "tok_cnt", "key_dc")
 
 
+def q_long_window_unbounded(spark, sf_dir):
+    """Long-window pre-aggregation (long_window_optimized.cc analogue):
+    UNBOUNDED cumulative aggregates via bucketed partials + carry-in —
+    fully native, no per-key single-task bottleneck."""
+    from openmldb_spark.operators.long_window import long_window_agg
+    from openmldb_spark.operators.window import Agg, WindowSpec
+
+    ev = _t(spark, sf_dir, "events")
+    spec = WindowSpec(["user_id"], "ts", "rows", None, tiebreak=["event_id"])
+    out = long_window_agg(ev, spec, [
+        Agg("sum", "value", "cum_sum"),
+        Agg("count", "value", "cum_cnt"),
+        Agg("min", "value", "cum_min"),
+        Agg("max", "value", "cum_max"),
+        Agg("avg", "value", "cum_avg"),
+    ], bucket_ms=3_600_000)
+    return out.select("event_id", "user_id", _r6("cum_sum").alias("cum_sum"),
+                      "cum_cnt", _r6("cum_min").alias("cum_min"),
+                      _r6("cum_max").alias("cum_max"), _r6("cum_avg").alias("cum_avg"))
+
+
 def q_left_join(spark, sf_dir):
     """Plain LEFT JOIN through the SQL front-end (JoinPlan.scala:159)."""
     from openmldb_spark.sql import SqlEngine
@@ -531,6 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "lsh_topk": q_lsh_topk,
         "backfill_transcripts": q_backfill_transcripts,
+        "long_window_unbounded": q_long_window_unbounded,
         "nth_value_where_window": q_nth_value_where_window,
         "topn_cate_window": q_topn_cate_window,
         "fz_split_window": q_fz_split_window,
@@ -822,6 +844,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine,
                    CAST(rank AS BIGINT) AS rank
             FROM ranked WHERE rank <= 5
+        """,
+        "long_window_unbounded": """
+            SELECT event_id, user_id,
+                   ROUND(SUM(value) OVER w, 6) AS cum_sum,
+                   COUNT(value) OVER w AS cum_cnt,
+                   ROUND(MIN(value) OVER w, 6) AS cum_min,
+                   ROUND(MAX(value) OVER w, 6) AS cum_max,
+                   ROUND(AVG(value) OVER w, 6) AS cum_avg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """,
         "nth_value_where_window": _RN_CTE + """
             SELECT a.event_id, a.user_id,

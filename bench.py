@@ -120,6 +120,19 @@ def main() -> None:
         )
     )
 
+    # q2b — same unbounded decomposable aggs via long-window pre-agg
+    # (bucketed partials + carry-in — no context replication at all)
+    from openmldb_spark.operators.long_window import long_window_agg
+
+    queries["long_window_preagg"] = _run(
+        long_window_agg(
+            transcripts, spec_u,
+            [Agg("count", None, "cnt"), Agg("sum", "turn_idx", "s"),
+             Agg("min", "turn_idx", "mn"), Agg("max", "turn_idx", "mx")],
+            bucket_ms=3_600_000,
+        )
+    )
+
     # q3 — native rolling windows on events (pure Catalyst path)
     queries["rows_window_native"] = _run(em.q_rows_window(spark, sf_dir))
 

@@ -1,0 +1,176 @@
+"""Long-window pre-aggregation — bucketed partials + carry-in.
+
+Batch re-expression of the reference's long-window optimization
+(``hybridse/src/passes/physical/long_window_optimized.cc:29-40``;
+pre-agg storage ``src/storage/aggregator.h:40-56``): instead of
+evaluating an UNBOUNDED (or very long) window by carrying every
+previous row, decomposable aggregates split into
+
+    result(row) = combine( carry(all full buckets before this row's
+                           bucket), running(within-bucket prefix) )
+
+- **bucket partials**: one ``groupBy(key, bucket)`` — the analogue of
+  the reference's pre-agg table rows (one per key × time bucket).
+- **carry**: cumulative combine over the tiny partial table (window
+  over keys × buckets rows), shifted by one bucket.
+- **running**: native Catalyst cumulative window partitioned by
+  ``(key, bucket)`` — a hot key's timeline is split across buckets, so
+  no single task owns the whole conversation.
+
+Everything is JVM-native (zero Python) and the only shuffles are the
+partial groupBy and the (key, bucket) repartition that the running
+window needs — which the carry join reuses.
+
+Versus ``skew.window_agg_skewed`` on unbounded frames: the salted
+kernel replicates each earlier bucket's FULL history into every later
+bucket (O(quantiles × hot rows) expansion — VERDICT r1); here the
+carried state per bucket is one row of partials, so a 10^12-turn hot
+conversation costs O(rows) total regardless of bucket count.
+
+Supported: UNBOUNDED PRECEDING .. CURRENT ROW frames (ROWS or
+ROWS_RANGE — identical for unbounded), aggregates sum / count / avg /
+min / max (+ ``*_where``) — the same decomposable set the reference's
+aggregator supports (``aggregator.h``: sum/min/max/count/avg). For
+non-decomposable aggregates (distinct_count, median, …) use the
+window kernel / skew salting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from openmldb_spark.operators.window import Agg, WindowSpec
+
+__all__ = ["long_window_agg"]
+
+_DECOMPOSABLE = {"sum", "count", "avg", "min", "max",
+                 "sum_where", "count_where", "avg_where", "min_where", "max_where"}
+
+_B = "__lw_bucket__"
+
+
+def _order_ms(df: DataFrame, order_by: str) -> Column:
+    dt = df.schema[order_by].dataType
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return (F.unix_micros(F.col(order_by).cast("timestamp")) / 1000).cast("long")
+    return F.col(order_by).cast("long")
+
+
+def long_window_agg(
+    df: DataFrame,
+    spec: WindowSpec,
+    aggs: list[Agg],
+    bucket_ms: int = 3_600_000,
+) -> DataFrame:
+    """UNBOUNDED-frame window aggregation via pre-aggregated buckets.
+
+    Output is identical to ``window_agg`` with the same spec (buffer
+    order ``(order, tiebreak)``); physical shape is 2 shuffles and a
+    broadcast-sized carry join, all whole-stage-codegen.
+    """
+    if spec.preceding is not None:
+        raise ValueError("long_window_agg handles UNBOUNDED PRECEDING frames; "
+                         "use window_agg for bounded frames")
+    if spec.exclude_current_time or spec.exclude_current_row \
+            or spec.instance_not_in_window or spec.end_preceding or spec.end_is_offset:
+        raise ValueError("long_window_agg supports plain UNBOUNDED..CURRENT ROW frames")
+    bad = [a.func for a in aggs if a.func not in _DECOMPOSABLE]
+    if bad:
+        raise ValueError(f"non-decomposable aggregates for pre-aggregation: {bad}; "
+                         f"use window_agg/window_agg_skewed")
+
+    keys = list(spec.partition_by)
+    work = df.withColumn(_B, (_order_ms(df, spec.order_by) / F.lit(int(bucket_ms))).cast("long"))
+
+    # per-aggregate masked source column (``*_where`` masks with cond)
+    def src(a: Agg) -> Column:
+        c = F.col(a.col) if a.col else F.lit(1)
+        if a.cond:
+            c = F.when(F.col(a.cond), c)
+        return c
+
+    # 1. bucket partials — the pre-agg table (aggregator.h:40-56)
+    partial_aggs = []
+    for i, a in enumerate(aggs):
+        base = a.func[:-6] if a.func.endswith("_where") else a.func
+        c = src(a)
+        if base in ("sum", "avg"):
+            partial_aggs.append(F.sum(c).alias(f"__s{i}__"))
+            partial_aggs.append(F.count(c).alias(f"__c{i}__"))
+        elif base == "count":
+            partial_aggs.append(F.count(c).alias(f"__c{i}__"))
+        elif base == "min":
+            partial_aggs.append(F.min(c).alias(f"__m{i}__"))
+        else:  # max
+            partial_aggs.append(F.max(c).alias(f"__m{i}__"))
+    partials = work.groupBy(*keys, _B).agg(*partial_aggs)
+
+    # 2. carry = cumulative combine over buckets strictly before ours
+    wcum = (Window.partitionBy(*keys).orderBy(_B)
+            .rowsBetween(Window.unboundedPreceding, -1))
+    carry_cols = []
+    for i, a in enumerate(aggs):
+        base = a.func[:-6] if a.func.endswith("_where") else a.func
+        if base in ("sum", "avg"):
+            carry_cols.append(F.sum(f"__s{i}__").over(wcum).alias(f"__ps{i}__"))
+            carry_cols.append(F.sum(f"__c{i}__").over(wcum).alias(f"__pc{i}__"))
+        elif base == "count":
+            carry_cols.append(F.sum(f"__c{i}__").over(wcum).alias(f"__pc{i}__"))
+        elif base == "min":
+            carry_cols.append(F.min(f"__m{i}__").over(wcum).alias(f"__pm{i}__"))
+        else:
+            carry_cols.append(F.max(f"__m{i}__").over(wcum).alias(f"__pm{i}__"))
+    carry = partials.select(*keys, _B, *carry_cols)
+
+    # 3. within-bucket running aggregates — native cumulative window
+    # over (key, bucket): buffer order = (order key, tiebreak)
+    order_cols = [F.col(spec.order_by)] + [F.col(c) for c in spec.tiebreak]
+    wrun = (Window.partitionBy(*keys, _B).orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, 0))
+    run = work
+    for i, a in enumerate(aggs):
+        base = a.func[:-6] if a.func.endswith("_where") else a.func
+        c = src(a)
+        if base in ("sum", "avg"):
+            run = run.withColumn(f"__rs{i}__", F.sum(c).over(wrun))
+            run = run.withColumn(f"__rc{i}__", F.count(c).over(wrun))
+        elif base == "count":
+            run = run.withColumn(f"__rc{i}__", F.count(c).over(wrun))
+        elif base == "min":
+            run = run.withColumn(f"__rm{i}__", F.min(c).over(wrun))
+        else:
+            run = run.withColumn(f"__rm{i}__", F.max(c).over(wrun))
+
+    # 4. combine — the carry table is keys × buckets rows; the join key
+    # extends the running window's partitioning, so AQE can plan a
+    # broadcast when small or reuse the (key, bucket) exchange when not
+    joined = run.join(carry, on=keys + [_B], how="left")
+    out = joined
+    int_wrap = (T.ByteType, T.ShortType, T.IntegerType)
+    for i, a in enumerate(aggs):
+        base = a.func[:-6] if a.func.endswith("_where") else a.func
+        if base == "sum":
+            e = F.coalesce(F.col(f"__ps{i}__"), F.lit(0)) + F.coalesce(F.col(f"__rs{i}__"), F.lit(0))
+            e = F.when(F.col(f"__ps{i}__").isNotNull() | F.col(f"__rs{i}__").isNotNull(), e)
+            if a.col and isinstance(df.schema[a.col].dataType, int_wrap):
+                dt = df.schema[a.col].dataType
+                bits = {T.ByteType: 8, T.ShortType: 16, T.IntegerType: 32}[type(dt)]
+                e = (F.pmod(e + F.lit(2 ** (bits - 1)), F.lit(2 ** bits)) - 2 ** (bits - 1)).cast(dt)
+            elif a.col:
+                e = e.cast(df.schema[a.col].dataType)
+        elif base == "count":
+            e = F.coalesce(F.col(f"__pc{i}__"), F.lit(0)) + F.col(f"__rc{i}__")
+        elif base == "avg":
+            s = F.coalesce(F.col(f"__ps{i}__"), F.lit(0)) + F.coalesce(F.col(f"__rs{i}__"), F.lit(0))
+            c = F.coalesce(F.col(f"__pc{i}__"), F.lit(0)) + F.coalesce(F.col(f"__rc{i}__"), F.lit(0))
+            e = F.when(c > 0, s.cast("double") / c)
+        elif base == "min":
+            e = F.least(F.col(f"__pm{i}__"), F.col(f"__rm{i}__"))
+            e = F.coalesce(e, F.col(f"__pm{i}__"), F.col(f"__rm{i}__"))
+        else:
+            e = F.greatest(F.col(f"__pm{i}__"), F.col(f"__rm{i}__"))
+            e = F.coalesce(e, F.col(f"__pm{i}__"), F.col(f"__rm{i}__"))
+        out = out.withColumn(a.name, e)
+    return out.select(*df.columns, *[a.name for a in aggs])

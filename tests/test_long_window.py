@@ -1,0 +1,80 @@
+"""Long-window pre-aggregation vs the exact window kernel.
+
+Parity gate: ``long_window_agg`` (bucketed partials + carry-in,
+long_window_optimized.cc analogue) must match ``window_agg``'s
+buffer-order results exactly — including duplicate timestamps, NULL
+values, *_where conditions and integer sum wraparound.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from openmldb_spark.operators.long_window import long_window_agg
+from openmldb_spark.operators.window import Agg, WindowSpec, window_agg
+
+
+def _random_df(spark, n=800, keys=7, seed=11):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        rows.append((
+            i,
+            f"k{rng.randrange(keys)}",
+            rng.randrange(0, 50) * 1_000_000,  # ms ts with many duplicates
+            None if rng.random() < 0.15 else rng.randrange(-100, 100),
+            rng.random() < 0.5,
+        ))
+    return spark.createDataFrame(rows, "id int, k string, ts long, v int, cond boolean")
+
+
+AGGS = [
+    Agg("sum", "v", "s"),
+    Agg("count", "v", "c"),
+    Agg("count", None, "call"),
+    Agg("avg", "v", "a"),
+    Agg("min", "v", "mn"),
+    Agg("max", "v", "mx"),
+    Agg("sum_where", "v", "sw", cond="cond"),
+    Agg("count_where", "v", "cw", cond="cond"),
+]
+
+
+@pytest.mark.parametrize("bucket_ms", [1_000_000, 7_000_000, 10_000_000_000])
+def test_long_window_matches_kernel(spark, bucket_ms):
+    df = _random_df(spark)
+    spec = WindowSpec(["k"], "ts", "rows", None, tiebreak=["id"])
+    exact = window_agg(df, spec, AGGS, impl="kernel").orderBy("id").toPandas()
+    fast = long_window_agg(df, spec, AGGS, bucket_ms=bucket_ms).orderBy("id").toPandas()
+    assert list(exact.columns) == list(fast.columns)
+    for col in ("s", "c", "call", "a", "mn", "mx", "sw", "cw"):
+        for i in range(len(exact)):
+            e, g = exact[col].iloc[i], fast[col].iloc[i]
+            en = e is None or (isinstance(e, float) and math.isnan(e)) or e != e
+            gn = g is None or (isinstance(g, float) and math.isnan(g)) or g != g
+            assert en == gn, f"{col} row {i}: {e!r} vs {g!r}"
+            if not en:
+                assert float(e) == pytest.approx(float(g), abs=1e-9), f"{col} row {i}"
+
+
+def test_long_window_rejects_bounded_and_nondecomposable(spark):
+    df = _random_df(spark, n=10)
+    with pytest.raises(ValueError, match="UNBOUNDED"):
+        long_window_agg(df, WindowSpec(["k"], "ts", "rows", 5), [Agg("sum", "v", "s")])
+    with pytest.raises(ValueError, match="non-decomposable"):
+        long_window_agg(df, WindowSpec(["k"], "ts", "rows", None),
+                        [Agg("distinct_count", "v", "d")])
+
+
+def test_long_window_plan_is_native(spark):
+    """Zero Python nodes — the whole pre-agg + carry + running-window
+    plan stays in Catalyst/whole-stage codegen."""
+    df = _random_df(spark, n=50)
+    spec = WindowSpec(["k"], "ts", "rows", None, tiebreak=["id"])
+    out = long_window_agg(df, spec, [Agg("sum", "v", "s")])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "MapInPandas" not in plan
