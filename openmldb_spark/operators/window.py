@@ -182,8 +182,13 @@ def _result_type(agg: Agg, in_type: T.DataType) -> T.DataType:
         # sums keep the input width: integer sums wrap around on
         # overflow, float sums stay float (reference: sum(int32) is
         # int32 — test_window.yaml id=21; sum(float) is float —
-        # udaf_query.yaml id=3)
+        # udaf_query.yaml id=3). Spark parses 0.0 literals as
+        # DECIMAL(1,1); the dialect treats them as DOUBLE.
+        if isinstance(in_type, T.DecimalType):
+            return T.DoubleType()
         return in_type
+    if agg.func in ("min", "max", "min_where", "max_where") and isinstance(in_type, T.DecimalType):
+        return T.DoubleType()
     # min/max/lag/first_value/nth_value_where keep the input type
     return in_type
 
@@ -1241,7 +1246,7 @@ def make_kernel(spec: WindowSpec, aggs: list[Agg], out_cols: list[str], result_f
         for k, v in res.items():
             out[k] = v
         # nullable IntN so NULL aggregates survive Arrow conversion
-        return _to_int(out[emit])
+        return _to_int(out[emit].copy())
 
     return kernel
 

@@ -21,9 +21,14 @@ from pyspark.sql import types as T
 
 __all__ = [
     "load_data",
+    "auto_load",
     "select_into",
     "iceberg_available",
     "iceberg_catalog_conf",
+    "hive_available",
+    "hive_catalog_conf",
+    "tidb_catalog_conf",
+    "s3_conf",
     "read_table",
     "write_table",
 ]
@@ -121,7 +126,98 @@ def iceberg_catalog_conf(name: str = "ice", warehouse: str = "/tmp/ice_warehouse
     }
 
 
-def read_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+def hive_available(spark: SparkSession) -> bool:
+    try:
+        return spark.conf.get("spark.sql.catalogImplementation", "in-memory") == "hive"
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def hive_catalog_conf(metastore_uri: str | None = None) -> dict[str, str]:
+    """SparkSession conf for Hive-metastore tables (reference:
+    docs/en/integration/offline_data_sources/hive.md — the builder also
+    needs ``.enableHiveSupport()``)."""
+    conf = {"spark.sql.catalogImplementation": "hive"}
+    if metastore_uri:
+        conf["spark.hadoop.hive.metastore.uris"] = metastore_uri
+    return conf
+
+
+def tidb_catalog_conf(pd_addresses: str, tidb_addr: str, tidb_port: int = 4000,
+                      user: str = "root", password: str = "",
+                      catalog: str = "tidb_catalog") -> dict[str, str]:
+    """SparkSession conf for TiDB via TiSpark (reference:
+    docs/en/integration/offline_data_sources/tidb.md — needs the
+    tispark-assembly + mysql-connector jars on the classpath)."""
+    return {
+        "spark.sql.extensions": "org.apache.spark.sql.TiExtensions",
+        f"spark.sql.catalog.{catalog}": "org.apache.spark.sql.catalyst.catalog.TiCatalog",
+        f"spark.sql.catalog.{catalog}.pd.addresses": pd_addresses,
+        "spark.tispark.pd.addresses": pd_addresses,
+        "spark.sql.tidb.addr": tidb_addr,
+        "spark.sql.tidb.port": str(tidb_port),
+        "spark.sql.tidb.user": user,
+        "spark.sql.tidb.password": password,
+    }
+
+
+def s3_conf(access_key: str, secret_key: str, endpoint: str | None = None) -> dict[str, str]:
+    """Hadoop s3a conf (reference docs/en/integration/
+    offline_data_sources/s3.md — taskmanager spark.default.conf); with
+    this set, s3a:// paths work in every file reader/writer here."""
+    conf = {
+        "spark.hadoop.fs.s3a.access.key": access_key,
+        "spark.hadoop.fs.s3a.secret.key": secret_key,
+    }
+    if endpoint:
+        conf["spark.hadoop.fs.s3a.endpoint"] = endpoint
+    return conf
+
+
+def _tidb_schema_map(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """TiDB surfaces every integer as BIGINT; narrow back to the
+    declared width (DataSourceUtil.getMappingSchemaColumnsForTidb)."""
+    from pyspark.sql import functions as F
+
+    narrow = (T.IntegerType, T.ShortType)
+    cols = []
+    for a, b in zip(df.schema.fields, schema.fields):
+        if a.name != b.name:
+            raise SchemaMismatch(f"tidb schema mismatch: {a.name} != {b.name}")
+        if a.dataType == b.dataType:
+            cols.append(F.col(b.name))
+        elif isinstance(a.dataType, T.LongType) and isinstance(b.dataType, narrow):
+            cols.append(F.col(a.name).cast(b.dataType).alias(b.name))
+        else:
+            raise SchemaMismatch(
+                f"tidb schema mismatch: {a.name} {a.dataType} !~ {b.dataType}")
+    return df.select(*cols)
+
+
+def auto_load(
+    spark: SparkSession,
+    uri: str,
+    schema: T.StructType | None = None,
+    fmt: str | None = None,
+    **file_opts,
+) -> DataFrame:
+    """LOAD DATA's source router (``DataSourceUtil.autoLoad``): catalog
+    URIs read via ``spark.table`` (``hive://db.tbl``, ``tidb://db.tbl``,
+    ``iceberg://cat.db.tbl`` / any ``<catalog>.db.tbl``), everything
+    else as files (``file://`` / ``hdfs://`` / ``s3a://`` paths honour
+    the session's Hadoop conf — see ``s3_conf``)."""
+    scheme, _, rest = uri.partition("://")
+    if rest and scheme.lower() in ("hive", "iceberg", "tidb"):
+        name = rest
+        df = spark.table(name)
+        if schema is not None:
+            if scheme.lower() == "tidb":
+                return _tidb_schema_map(df, schema)
+            return _validate(df, schema, uri)
+        return df
+    if schema is None:
+        raise ValueError("file sources need a declared schema (no silent inference)")
+    return load_data(spark, uri, schema, fmt=fmt or "parquet", **file_opts)
     """Catalog-or-files table reader: Iceberg/hive table if the catalog
     resolves it, else ``{sf_dir}/{name}.parquet``."""
     if sf_dir is None:

@@ -9,6 +9,7 @@ literal rows), ``sql`` with {0},{1} table placeholders, ``expect``
 from __future__ import annotations
 
 import math
+from datetime import date as _date
 from datetime import datetime, timezone
 
 import pandas as pd
@@ -226,6 +227,28 @@ def run_case(spark, case: dict):
     for i, name in enumerate(names):
         sql = sql.replace("{" + str(i) + "}", name)
 
+    params = case.get("parameters")
+    if params:
+        # request-mode parameterized query: substitute '?' positionally
+        # with typed literals (query/parameterized_query.yaml)
+        pschema = parse_schema(params.get("columns") or params["schema"])
+        prow = (params.get("rows") or [[None]])[0]
+        for v, f in zip(prow, pschema.fields):
+            v = _conv(v, f.dataType)
+            if v is None:
+                lit = "NULL"
+            elif isinstance(v, str):
+                lit = "'" + v.replace("'", "''") + "'"
+            elif isinstance(v, datetime):
+                lit = f"TIMESTAMP '{v}'"
+            elif isinstance(v, _date):
+                lit = f"DATE '{v}'"
+            elif isinstance(v, bool):
+                lit = "true" if v else "false"
+            else:
+                lit = repr(v)
+            sql = sql.replace("?", lit, 1)
+
     try:
         got = eng.sql(sql).toPandas()
     except Exception as ex:  # noqa: BLE001
@@ -250,6 +273,8 @@ def run_case(spark, case: dict):
     if len(set(exp.columns)) != len(exp.columns):
         # duplicate output names (id21 三表拼表) → compare positionally
         order = expect.get("order")
+        if order and order not in list(exp.columns):
+            order = None
         if order:
             pos = list(exp.columns).index(order)
             got = got.copy()
@@ -258,6 +283,13 @@ def run_case(spark, case: dict):
             got.columns = newcols
             exp.columns = newcols
             expect = dict(expect, order=f"__c{pos}__")
+        else:
+            newcols = [f"__c{i}__" for i in range(len(exp.columns))]
+            got = got.copy()
+            exp = exp.copy()
+            got.columns = newcols
+            exp.columns = newcols
+            expect = dict(expect, order=None)
     if len(got) != len(exp):
         return False, f"rows: got {len(got)} want {len(exp)}"
     import re as _re

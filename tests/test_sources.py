@@ -52,3 +52,45 @@ def test_select_into_roundtrip(spark, tmp_path):
 def test_iceberg_gated(spark):
     # the sandbox has no iceberg runtime jar — the helper must say so
     assert iceberg_available(spark) in (True, False)
+
+
+def test_auto_load_catalog_routing(spark):
+    """hive://db.tbl routes through spark.table (DataSourceUtil.autoLoad
+    catalog branch) with schema validation."""
+    from pyspark.sql import types as T
+
+    from openmldb_spark.sources.io import SchemaMismatch, auto_load
+
+    spark.createDataFrame([(1, "a")], "id int, s string").createOrReplaceTempView("cat_t")
+    schema = T.StructType([T.StructField("id", T.IntegerType()), T.StructField("s", T.StringType())])
+    out = auto_load(spark, "hive://cat_t", schema)
+    assert out.collect()[0].id == 1
+    bad = T.StructType([T.StructField("nope", T.IntegerType())])
+    import pytest
+    with pytest.raises(SchemaMismatch):
+        auto_load(spark, "hive://cat_t", bad)
+
+
+def test_auto_load_tidb_narrowing(spark):
+    """TiDB surfaces ints as BIGINT; declared int/smallint narrow back
+    (getMappingSchemaColumnsForTidb)."""
+    from pyspark.sql import types as T
+
+    from openmldb_spark.sources.io import auto_load
+
+    spark.createDataFrame([(1, 2)], "a long, b long").createOrReplaceTempView("tidb_t")
+    schema = T.StructType([T.StructField("a", T.IntegerType()), T.StructField("b", T.ShortType())])
+    out = auto_load(spark, "tidb://tidb_t", schema)
+    assert [f.dataType.simpleString() for f in out.schema.fields] == ["int", "smallint"]
+
+
+def test_source_conf_helpers():
+    from openmldb_spark.sources.io import hive_catalog_conf, s3_conf, tidb_catalog_conf
+
+    assert hive_catalog_conf("thrift://ms:9083")["spark.hadoop.hive.metastore.uris"] == "thrift://ms:9083"
+    s3 = s3_conf("AK", "SK", endpoint="http://minio:9000")
+    assert s3["spark.hadoop.fs.s3a.access.key"] == "AK"
+    assert s3["spark.hadoop.fs.s3a.endpoint"] == "http://minio:9000"
+    tidb = tidb_catalog_conf("pd:2379", "tidb", 4000)
+    assert tidb["spark.sql.catalog.tidb_catalog"].endswith("TiCatalog")
+    assert tidb["spark.tispark.pd.addresses"] == "pd:2379"
