@@ -153,5 +153,6 @@ def window_agg_skewed(
 
     out_cols = list(df.columns)
     result_fields, out_schema = result_schema(df, aggs)
-    kernel = make_kernel(spec, aggs, out_cols, result_fields, format_int_cols(df, aggs))
+    kernel = make_kernel(spec, aggs, out_cols, result_fields, format_int_cols(df, aggs),
+                         keys=keys + [_BUCKET])
     return run_kernel_partitioned(expanded, keys + [_BUCKET], kernel, out_schema)

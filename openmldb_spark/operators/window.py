@@ -327,22 +327,43 @@ class _SegmentIndexer:
 def _to_order_int64(s: pd.Series) -> np.ndarray:
     """Order key → int64 (ms for timestamps), reference compares in ms."""
     if pd.api.types.is_datetime64_any_dtype(s.dtype):
-        ns = s.astype("datetime64[ns]").astype("int64")
+        ns = s.astype("datetime64[ns]").astype("int64").to_numpy()
         return ns // 1_000_000
     return s.astype("int64").to_numpy()
 
 
-def _frame_bounds(spec: WindowSpec, ok: np.ndarray, emit: np.ndarray):
+def _offset_ok(ok: np.ndarray, gid: np.ndarray, margin: int) -> np.ndarray:
+    """Order keys shifted so each key group occupies a disjoint int64
+    block — a single global ``searchsorted`` then resolves range frames
+    for EVERY group at once (the multi-group kernel's core trick)."""
+    if not len(ok):
+        return ok
+    base = ok.min()
+    step = int(ok.max() - base) + margin + 2
+    return (ok - base) + gid.astype(np.int64) * step
+
+
+def _frame_bounds(spec: WindowSpec, ok: np.ndarray, emit: np.ndarray,
+                  gs: np.ndarray | None = None, gid: np.ndarray | None = None):
     """Vectorized frame bounds under buffer-order semantics.
 
     Returns (lo, seg_hi, inc_cur): the frame of row i is the contiguous
     buffer segment [lo[i], seg_hi[i]] plus (optionally) row i itself.
+
+    With ``gs``/``gid`` (per-row group start index / group id) the same
+    math serves a whole multi-group batch: range lookups run over
+    group-offset order keys and ROWS bounds clamp at the group start,
+    so frames never cross key groups.
     """
     n = len(ok)
     idx = np.arange(n, dtype=np.int64)
+    if gs is None:
+        gs = np.zeros(n, dtype=np.int64)
+    margin = abs(int(spec.preceding or 0)) + abs(int(spec.end_preceding or 0))
+    sok = _offset_ok(ok, gid, margin) if gid is not None else ok
     has_end = bool(spec.end_preceding) or spec.end_is_offset
     if spec.frame == "rows":
-        first_same = np.searchsorted(ok, ok, side="left") if spec.exclude_current_time else None
+        first_same = np.searchsorted(sok, sok, side="left") if spec.exclude_current_time else None
         anchor = first_same if spec.exclude_current_time else idx
         if has_end:
             e = int(spec.end_preceding) + (1 if spec.open_end else 0)
@@ -355,7 +376,7 @@ def _frame_bounds(spec: WindowSpec, ok: np.ndarray, emit: np.ndarray):
             seg_hi = anchor - 1
             inc_cur = np.full(n, not spec.exclude_current_row)
         if spec.preceding is None:
-            lo = np.zeros(n, dtype=np.int64)
+            lo = gs.copy()
         else:
             # n PRECEDING = n buffered rows before the current position;
             # under EXCLUDE CURRENT_TIME the buffer holds no same-ts rows
@@ -364,29 +385,29 @@ def _frame_bounds(spec: WindowSpec, ok: np.ndarray, emit: np.ndarray):
         clamp_hi = idx - 1
     else:  # rows_range
         if spec.preceding is None:
-            lo = np.zeros(n, dtype=np.int64)
+            lo = gs.copy()
         else:
             side = "right" if spec.open_preceding else "left"
-            lo = np.searchsorted(ok, ok - int(spec.preceding), side=side)
+            lo = np.searchsorted(sok, sok - int(spec.preceding), side=side)
         if has_end:
             e = int(spec.end_preceding)
             side_end = "left" if spec.open_end else "right"
-            seg_hi = np.searchsorted(ok, ok - e, side=side_end) - 1
+            seg_hi = np.searchsorted(sok, sok - e, side=side_end) - 1
             inc_cur = np.zeros(n, dtype=bool)
             # negative end offset reaches past the current row: the
             # buffer caps at the current position (current row included
             # in the segment — test_window_row_range.yaml id=45)
             clamp_hi = idx if e < 0 else idx - 1
             if spec.exclude_current_time:
-                seg_hi = np.minimum(seg_hi, np.searchsorted(ok, ok, side="left") - 1)
+                seg_hi = np.minimum(seg_hi, np.searchsorted(sok, sok, side="left") - 1)
         else:
             if spec.exclude_current_time:
-                seg_hi = np.searchsorted(ok, ok, side="left") - 1
+                seg_hi = np.searchsorted(sok, sok, side="left") - 1
             else:
                 seg_hi = idx - 1
             inc_cur = np.full(n, not spec.exclude_current_row)
             clamp_hi = idx - 1
-    lo = np.maximum(lo, 0)
+    lo = np.maximum(lo, gs)
     seg_hi = np.minimum(seg_hi, clamp_hi)
     if spec.maxsize:
         cap = int(spec.maxsize) - inc_cur.astype(np.int64)
@@ -530,7 +551,9 @@ def _eval_distinct_twoptr(vals: pd.Series, lo, seg_hi, inc_cur) -> np.ndarray:
     for i in range(n):
         hi = seg_hi[i] + 1
         lo_i = lo[i]
-        if hi < right or lo_i < left:  # bounds regressed (empty frame) — rare
+        if hi < right or lo_i < left or lo_i > right:
+            # bounds regressed (empty frame) or jumped disjointly
+            # (key-group boundary in a multi-group batch) — reset
             counts.clear()
             left = right = lo_i
         while right < hi:
@@ -833,7 +856,8 @@ def _eval_sliding(agg: Agg, pdf: pd.DataFrame, lo, seg_hi, inc_cur,
         for i in range(n):
             hi = seg_hi[i] + 1
             lo_i = lo[i]
-            if hi < right or lo_i < left:  # regressed (empty frame)
+            if hi < right or lo_i < left or lo_i > right:
+                # regressed (empty frame) or disjoint jump (group boundary)
                 N = D = 0.0
                 size = 0
                 left = right = max(lo_i, 0)
@@ -910,7 +934,7 @@ def _eval_sliding(agg: Agg, pdf: pd.DataFrame, lo, seg_hi, inc_cur,
     for i in range(n):
         hi = seg_hi[i] + 1
         lo_i = lo[i]
-        if hi < right or lo_i < left:
+        if hi < right or lo_i < left or lo_i > right:
             counts.clear()
             cnt_of_cnt.clear()
             total = 0
@@ -1059,21 +1083,28 @@ def _eval_generic(agg: Agg, pdf: pd.DataFrame, lo, seg_hi, inc_cur,
 
 def _eval_positional(agg: Agg, pdf: pd.DataFrame, lo, seg_hi, inc_cur,
                       ok: np.ndarray | None = None,
-                      exclude_current_time: bool = False) -> pd.Series:
+                      exclude_current_time: bool = False,
+                      gs: np.ndarray | None = None) -> pd.Series:
     s = pdf[agg.col]
     if agg.func in ("lag", "at"):
+        n = len(s)
+        idx = np.arange(n, dtype=np.int64)
+        if gs is None:
+            gs = np.zeros(n, dtype=np.int64)
         if exclude_current_time and ok is not None:
             # same-order-key rows are outside the buffer under EXCLUDE
             # CURRENT_TIME — lag counts only earlier-keyed rows
-            # (window_attributes.yaml id=9)
+            # (window_attributes.yaml id=9); ok is group-offset when
+            # evaluating a multi-group batch
             anchor = np.searchsorted(ok, ok, side="left")
-            idxv = anchor - agg.n
-            vals = s.to_numpy(dtype=object)
-            out = np.full(len(s), None, dtype=object)
-            valid = idxv >= 0
-            out[valid] = vals[idxv[valid]]
-            return pd.Series(out, index=s.index)
-        return s.shift(agg.n)
+        else:
+            anchor = idx
+        idxv = anchor - agg.n
+        vals = s.to_numpy(dtype=object)
+        out = np.full(n, None, dtype=object)
+        valid = idxv >= gs  # lag never crosses the key-group boundary
+        out[valid] = vals[idxv[valid]]
+        return pd.Series(out, index=s.index)
     if agg.func == "first_value":
         # reference semantics: NEWEST value in frame (frame buffered
         # newest-first, window_functions_def.cc:259-281)
@@ -1112,8 +1143,25 @@ def format_int_cols(df: DataFrame, aggs: list[Agg]) -> frozenset:
     return frozenset(cols)
 
 
+def _group_index(pdf: pd.DataFrame, keys: list[str]):
+    """(gid, gs): per-row group ordinal and group-start index for a
+    frame already SORTED by ``keys`` (NaN keys group together, matching
+    ``groupby(dropna=False)``)."""
+    n = len(pdf)
+    change = np.zeros(n, dtype=bool)
+    for k in keys:
+        col = pdf[k]
+        prev = col.shift()
+        ck = col.ne(prev) & ~(col.isna() & prev.isna())
+        change |= ck.to_numpy(dtype=bool, na_value=True)
+    change[0] = True
+    gid = np.cumsum(change) - 1
+    starts = np.flatnonzero(change)
+    return gid, starts[gid]
+
+
 def make_kernel(spec: WindowSpec, aggs: list[Agg], out_cols: list[str], result_fields: list,
-                int_cols: frozenset = frozenset()):
+                int_cols: frozenset = frozenset(), keys: list[str] | None = None):
     """Build the per-group pandas kernel (shared by window_agg and the
     skew-salted variant in skew.py).
 
@@ -1152,7 +1200,13 @@ def make_kernel(spec: WindowSpec, aggs: list[Agg], out_cols: list[str], result_f
             out[name] = v.astype(f"Int{bits}")
         return out
 
+    key_list = list(keys) if keys else []
+
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Evaluate a batch that may hold MANY key groups in one pandas
+        pass: frame bounds come from group-offset searchsorted, so no
+        per-group Python loop runs for the vectorized aggregates (the
+        multi-group upgrade that removes per-conversation overhead)."""
         # drop NULL-order-key rows entirely (WindowAggPlan.scala:788-795)
         pdf = pdf[pdf[order_col].notna()]
         for c in int_cols:
@@ -1166,21 +1220,45 @@ def make_kernel(spec: WindowSpec, aggs: list[Agg], out_cols: list[str], result_f
         # union rows buffer BEFORE primary rows at equal order keys
         # (WindowAggPlan.scala:78-84): sort by (order, 1-union, tiebreak)
         pdf = pdf.assign(__prim__=-pdf[_UNION].to_numpy())
-        sort_keys = [order_col, "__prim__"] + tiebreak
+        sort_keys = key_list + [order_col, "__prim__"] + tiebreak
         pdf = pdf.sort_values(sort_keys, kind="mergesort").reset_index(drop=True)
+        gid = gs = None
+        if key_list:
+            gid, gs = _group_index(pdf, key_list)
         ok = _to_order_int64(pdf[order_col])
         emit = pdf[_EMIT].to_numpy() == 1
 
         if spec_b.instance_not_in_window:
             # dedicated path: positional frames count over the eligible
-            # (union rows) subsequence, not the raw buffer
-            res = _eval_inw_all(spec_b, aggs_b, pdf, ok, emit)
-            out = pdf[out_cols].copy()
-            for k, v in res.items():
-                out[k] = v
-            return _to_int(out[emit].copy())
+            # (union rows) subsequence, not the raw buffer — per group
+            if gs is None:
+                res = _eval_inw_all(spec_b, aggs_b, pdf, ok, emit)
+                out = pdf[out_cols].copy()
+                for k, v in res.items():
+                    out[k] = v
+                return _to_int(out[emit].copy())
+            outs = []
+            starts = np.flatnonzero(np.concatenate(([True], gid[1:] != gid[:-1])))
+            bounds = list(starts) + [len(pdf)]
+            for a0, b0 in zip(bounds[:-1], bounds[1:]):
+                g = pdf.iloc[a0:b0].reset_index(drop=True)
+                res = _eval_inw_all(spec_b, aggs_b, g, ok[a0:b0], emit[a0:b0])
+                out = g[out_cols].copy()
+                for k, v in res.items():
+                    out[k] = v
+                outs.append(_to_int(out[emit[a0:b0]].copy()))
+            if outs:
+                return pd.concat(outs, ignore_index=True)
+            out = pdf[out_cols].iloc[:0].copy()
+            for a in aggs_b:
+                out[a.name] = pd.Series(dtype=object)
+            return out
 
-        lo, seg_hi, inc_cur = _frame_bounds(spec_b, ok, emit)
+        sok = ok
+        if gid is not None:
+            margin = abs(int(spec_b.preceding or 0)) + abs(int(spec_b.end_preceding or 0))
+            sok = _offset_ok(ok, gid, margin)
+        lo, seg_hi, inc_cur = _frame_bounds(spec_b, ok, emit, gs, gid)
 
         res: dict[str, object] = {}
         for a in aggs_b:
@@ -1237,7 +1315,8 @@ def make_kernel(spec: WindowSpec, aggs: list[Agg], out_cols: list[str], result_f
                 res[a.name] = _eval_distinct(v, lo, seg_hi, inc_cur)
             elif fn in _POSITIONAL:
                 res[a.name] = _eval_positional(a, pdf, lo, seg_hi, inc_cur,
-                                                ok, spec_b.exclude_current_time)
+                                                sok, spec_b.exclude_current_time,
+                                                gs=gs)
             else:
                 emit_pos = np.flatnonzero(emit)
                 res[a.name] = _eval_generic(a, pdf, lo, seg_hi, inc_cur, emit_pos, seg_mask, where_mask)
@@ -1297,6 +1376,10 @@ def run_kernel_partitioned(work: DataFrame, keys: list[str], kernel, out_schema)
                 mask &= (col == last).to_numpy(dtype=bool, na_value=False)
         return len(pdf) - int(mask.sum())
 
+    import os as _os
+
+    streaming = _os.environ.get("OMLDB_KERNEL_STREAMING", "1") != "0"
+
     def run_partition(batches):
         carry: pd.DataFrame | None = None
         for pdf in batches:
@@ -1307,15 +1390,27 @@ def run_kernel_partitioned(work: DataFrame, keys: list[str], kernel, out_schema)
                 continue
             cut = _trailing_group_cut(pdf)
             head, carry = pdf.iloc[:cut], pdf.iloc[cut:]
-            for _, g in head.groupby(keys, sort=False, dropna=False):
-                yield kernel(g)
+            if len(head):
+                yield kernel(head)
         if carry is not None and len(carry):
-            for _, g in carry.groupby(keys, sort=False, dropna=False):
-                yield kernel(g)
+            yield kernel(carry)
+
+    def run_partition_concat(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        if not len(pdf):
+            return
+        yield kernel(pdf)
 
     n = int(work.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    parted = work.repartition(n, *keys).sortWithinPartitions(*keys)
-    return parted.mapInPandas(run_partition, schema=out_schema)
+    if streaming:
+        parted = work.repartition(n, *keys).sortWithinPartitions(*keys)
+        return parted.mapInPandas(run_partition, schema=out_schema)
+    # OMLDB_KERNEL_STREAMING=0: whole-partition concat (no JVM sort; Python
+    # memory bounded by partition, not group)
+    return work.repartition(n, *keys).mapInPandas(run_partition_concat, schema=out_schema)
 
 
 def _py_agg(agg: Agg, pdf: pd.DataFrame, idxs: list[int]):
@@ -1503,5 +1598,6 @@ def _kernel_window_agg(
     out_cols = list(df.columns)
     result_fields, out_schema = result_schema(df, aggs)
     work = with_flags(df, union)
-    kernel = make_kernel(spec, aggs, out_cols, result_fields, format_int_cols(df, aggs))
+    kernel = make_kernel(spec, aggs, out_cols, result_fields, format_int_cols(df, aggs),
+                         keys=list(spec.partition_by))
     return run_kernel_partitioned(work, list(spec.partition_by), kernel, out_schema)

@@ -7,7 +7,7 @@ cd "$(dirname "$0")/.."
 rm -f /tmp/openmldb_spark.zip
 (zip -qr /tmp/openmldb_spark.zip openmldb_spark)
 
-for N in 8 32; do
+for N in 2 8; do
   echo "=== local[$N] ===" >&2
   spark-submit --master "local[$N]" \
     --driver-memory "${SPARK_GRAFT_DRIVER_MEM:-48g}" \
