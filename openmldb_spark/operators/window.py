@@ -597,6 +597,8 @@ def _fmt_scalar(x) -> str:
         return f"{float(x):f}"
     if isinstance(x, (np.integer, int)):
         return str(int(x))
+    if isinstance(x, np.datetime64):
+        x = pd.Timestamp(x)
     if isinstance(x, pd.Timestamp) or isinstance(x, _dt.datetime):
         return x.strftime("%Y-%m-%d %H:%M:%S")
     if isinstance(x, _dt.date):
