@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -154,13 +156,13 @@ def is_null(col):
 # --- geo ---------------------------------------------------------------------
 
 def earth_distance(lat1, lon1, lat2, lon2):
-    """Haversine great-circle distance in meters
-    (reference: default_defs/earth_distance_def.cc)."""
+    """Haversine great-circle distance in KILOMETERS, radius 6372.8
+    (reference-exact: default_defs/earth_distance_def.cc:28)."""
     rlat1, rlon1 = F.radians(_c(lat1)), F.radians(_c(lon1))
     rlat2, rlon2 = F.radians(_c(lat2)), F.radians(_c(lon2))
     dlat, dlon = rlat2 - rlat1, rlon2 - rlon1
     a = F.sin(dlat / 2) ** 2 + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon / 2) ** 2
-    return 2 * 6371008.8 * F.asin(F.sqrt(a))
+    return 2 * 6372.8 * F.asin(F.sqrt(a))
 
 
 # --- row-wise min/max (reference maximum/minimum) ----------------------------
@@ -228,17 +230,18 @@ def register_all(spark) -> None:
     # SQL macro through a view-less expression: Spark supports SQL UDF
     # registration only for Python/pandas UDFs, so register thin pandas
     # wrappers only where SQL-callability is genuinely needed.
-    import pandas as pd  # noqa: F401
     from pyspark.sql.types import DoubleType
 
     @F.pandas_udf(DoubleType())
-    def earth_distance_sql(lat1: "pd.Series", lon1: "pd.Series", lat2: "pd.Series", lon2: "pd.Series") -> "pd.Series":
+    def earth_distance_sql(lat1: pd.Series, lon1: pd.Series, lat2: pd.Series, lon2: pd.Series) -> pd.Series:
         import numpy as np
 
+        # literal args may arrive as DECIMAL → object-dtype Decimals
+        lat1, lon1, lat2, lon2 = (s.astype("float64") for s in (lat1, lon1, lat2, lon2))
         rlat1, rlon1 = np.radians(lat1), np.radians(lon1)
         rlat2, rlon2 = np.radians(lat2), np.radians(lon2)
         dlat, dlon = rlat2 - rlat1, rlon2 - rlon1
         a = np.sin(dlat / 2) ** 2 + np.cos(rlat1) * np.cos(rlat2) * np.sin(dlon / 2) ** 2
-        return pd.Series(2 * 6371008.8 * np.arcsin(np.sqrt(a)))
+        return pd.Series(2 * 6372.8 * np.arcsin(np.sqrt(a)))
 
     spark.udf.register("earth_distance", earth_distance_sql)

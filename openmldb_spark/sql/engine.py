@@ -294,8 +294,15 @@ def _rewrite_like_match(sql: str) -> str:
             j += 1
         args = _split_top(sql[m.end(): j - 1])
         op = "ILIKE" if m.group(1).lower() == "i" else "LIKE"
-        esc = f" ESCAPE {args[2]}" if len(args) > 2 and args[2].strip() not in ("''", '""') else ""
-        repl = f"(({args[0]}) {op} ({args[1]}){esc})"
+        # keep ESCAPE '' — the RLIKE pre-pass implements the dialect's
+        # escaping-disabled semantics (wildcards live, backslash literal)
+        esc = f" ESCAPE {args[2]}" if len(args) > 2 else ""
+        if re.fullmatch(r"[\w.`]+", args[0].strip()):
+            # bare column LHS: emit the plain predicate form so the
+            # non-standard-ESCAPE → RLIKE pre-pass can rewrite it
+            repl = f"({args[0].strip()} {op} {args[1]}{esc})"
+        else:
+            repl = f"(({args[0]}) {op} ({args[1]}){esc})"
         sql = sql[: m.start()] + repl + sql[j:]
 
 
@@ -788,10 +795,19 @@ def _parse_bound(txt: str) -> tuple[int | None, bool, bool]:
 class SqlEngine:
     """Register DataFrames as tables, then ``sql(text)``."""
 
+    _REGISTERED_SESSIONS: set = set()
+
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self.tables: dict[str, DataFrame] = {}
         self.index_ts: dict[str, str] = {}
+        # expose composite scalar functions (earth_distance …) to SQL
+        key = id(spark)
+        if key not in SqlEngine._REGISTERED_SESSIONS:
+            from openmldb_spark.functions.scalar import register_all
+
+            register_all(spark)
+            SqlEngine._REGISTERED_SESSIONS.add(key)
 
     def register(self, name: str, df: DataFrame, index_ts: str | None = None) -> None:
         """``index_ts`` mirrors the reference's INDEX(..., ts=col): it
@@ -1332,6 +1348,15 @@ class SqlEngine:
         bound for Spark SQL: identity(), feature-zero scalar list fns,
         timestamp ± int arithmetic."""
         text = _rewrite_call(text, "identity", lambda a: f"({a[0]})" if len(a) == 1 else None)
+        # scalar at(list, i) is 0-based element access (window at() was
+        # placeholdered before this point); truncate() rounds toward 0
+        text = _rewrite_call(
+            text, "at",
+            lambda a: f"element_at(({a[0]}), ({a[1]}) + 1)" if len(a) == 2 else None)
+        text = _rewrite_call(
+            text, "truncate",
+            lambda a: (f"CAST(IF(({a[0]}) >= 0, FLOOR({a[0]}), CEIL({a[0]})) AS DOUBLE)"
+                       if len(a) == 1 else None))
         text = _rewrite_fz_scalars(text)
         ts_cols = {
             f.name for f in df.schema.fields

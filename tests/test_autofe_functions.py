@@ -48,8 +48,9 @@ def test_scalar_function_registry(spark):
         S.FUNCTIONS["abs"](F.lit(-3)).alias("a"),
         S.FUNCTIONS["concat_ws"]("-", F.lit("x"), F.lit("y")).alias("cw"),
     ).first()
-    # quarter of Earth's circumference ≈ 10,007.5 km
-    assert math.isclose(df["quarter_eq"] / 1000, 10007.5, rel_tol=1e-3)
+    # quarter circumference with the reference's 6372.8 km radius
+    # (earth_distance_def.cc:28) ≈ 10,010.3 km — output is in km
+    assert math.isclose(df["quarter_eq"], 10010.3, rel_tol=1e-3)
     assert df["cmp"] == -1
     assert df["nvl"] == 7
     assert df["trunc"] == -1.0

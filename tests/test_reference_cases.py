@@ -29,6 +29,8 @@ FILES = (
         "/root/reference/cases/query/fz_sql.yaml",
         "/root/reference/cases/query/parameterized_query.yaml",
         "/root/reference/cases/function/select/test_sub_select.yaml",
+        "/root/reference/cases/function/function/test_like_match.yaml",
+        "/root/reference/cases/function/function/test_udf_function.yaml",
         "/root/reference/cases/function/select/test_select_sample.yaml",
         "/root/reference/cases/function/select/test_where.yaml",
         "/root/reference/cases/query/simple_query.yaml",
@@ -64,6 +66,8 @@ KNOWN_DIVERGENCES = {
         "the engine evaluates both per frame row"
     ),
     ("operator_query.yaml", "6"): "parenthesized tuple comparison syntax",
+    ("test_udf_function.yaml", "4"): "hash64/farm_fingerprint: reference uses farmhash, engine xxhash64 (values differ by design)",
+    ("test_udf_function.yaml", "5"): "farmhash values + trailing comma in select list (corpus syntax quirk)",
     ("test_sub_select.yaml", "0"): (
         "unaliased expression output naming: engine uses the source "
         "text ('c2+1'), the reference pretty-prints the AST ('c2 + 1')"
@@ -87,6 +91,7 @@ KNOWN_DIVERGENCES = {
 # IN-lists with NULL members differs from Spark's three-valued logic)
 KNOWN_PREFIXES = {
     ("simple_query.yaml", "in_predicate"): "IN/NOT IN NULL-member semantics",
+    ("test_like_match.yaml", "28["): "multi-character ESCAPE string: reference rejects the match, engine treats the escape as inert",
     ("test_predicate.yaml", "3["): (
         "timestamp vs string comparison: the reference renders/parses "
         "timestamps in its build tz (Asia/Shanghai), engine pins UTC"
