@@ -485,15 +485,21 @@ def q_long_window_unbounded(spark, sf_dir):
     from openmldb_spark.operators.window import Agg, WindowSpec
 
     ev = _t(spark, sf_dir, "events")
+    # exact fixed-point sums: double addition is non-associative, so the
+    # bucketed recombination could land on ROUND half-boundaries a digit
+    # off from a sequential cumsum; decimal sums are exact + associative
+    # on both the Spark and the DuckDB-oracle side (VERDICT r2 #1)
+    ev = ev.withColumn("value_dec", F.col("value").cast("decimal(20,6)"))
     spec = WindowSpec(["user_id"], "ts", "rows", None, tiebreak=["event_id"])
     out = long_window_agg(ev, spec, [
-        Agg("sum", "value", "cum_sum"),
+        Agg("sum", "value_dec", "cum_sum"),
         Agg("count", "value", "cum_cnt"),
         Agg("min", "value", "cum_min"),
         Agg("max", "value", "cum_max"),
-        Agg("avg", "value", "cum_avg"),
+        Agg("avg", "value_dec", "cum_avg"),
     ], bucket_ms=3_600_000)
-    return out.select("event_id", "user_id", _r6("cum_sum").alias("cum_sum"),
+    return out.select("event_id", "user_id",
+                      _r6(F.col("cum_sum").cast("double")).alias("cum_sum"),
                       "cum_cnt", _r6("cum_min").alias("cum_min"),
                       _r6("cum_max").alias("cum_max"), _r6("cum_avg").alias("cum_avg"))
 
@@ -847,11 +853,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "long_window_unbounded": """
             SELECT event_id, user_id,
-                   ROUND(SUM(value) OVER w, 6) AS cum_sum,
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(20,6))) OVER w AS DOUBLE), 6) AS cum_sum,
                    COUNT(value) OVER w AS cum_cnt,
                    ROUND(MIN(value) OVER w, 6) AS cum_min,
                    ROUND(MAX(value) OVER w, 6) AS cum_max,
-                   ROUND(AVG(value) OVER w, 6) AS cum_avg
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(20,6))) OVER w AS DOUBLE)
+                         / COUNT(value) OVER w, 6) AS cum_avg
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

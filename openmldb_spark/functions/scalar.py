@@ -71,15 +71,42 @@ def strcmp(a, b):
     return F.when(a < b, -1).when(a > b, 1).otherwise(0)
 
 
+def like_regex(pat: str, esc: str) -> str | None:
+    """Dialect LIKE pattern → anchored-regex body; ``None`` for a
+    dangling escape (matches nothing). Any char may be the escape;
+    an empty escape leaves wildcards live (shared with the SQL
+    front-end's _rewrite_like_escape)."""
+    import re as _re
+
+    out = []
+    i = 0
+    while i < len(pat):
+        ch = pat[i]
+        if esc and ch == esc:
+            if i + 1 >= len(pat):
+                return None
+            out.append(_re.escape(pat[i + 1]))
+            i += 2
+            continue
+        out.append(".*" if ch == "%" else "." if ch == "_" else _re.escape(ch))
+        i += 1
+    return "".join(out)
+
+
 def like_match(col, pattern, escape=None):
-    # Column.like takes no escape arg in PySpark — build the ESCAPE
-    # form as a SQL expression ('' disables escaping, dialect rule)
+    """LIKE with the dialect's ESCAPE rules ('' disables escaping, any
+    char may escape, dangling escape never matches). Non-default
+    escapes are lowered to RLIKE via the same regex translation as the
+    SQL front-end — no SQL-string building, so backslashes and
+    expression columns are safe."""
     c = _c(col)
-    if escape is None or escape == "":
+    if escape is None or escape == "" or not isinstance(pattern, str):
         return c.like(pattern)
-    pat = pattern.replace("'", "\\'") if isinstance(pattern, str) else pattern
-    esc = escape.replace("'", "\\'")
-    return F.expr(f"{c._jc.toString()} LIKE '{pat}' ESCAPE '{esc}'")
+    if escape == "\\":
+        return c.like(pattern)  # Spark's native default-escape semantics
+    rx = like_regex(pattern, escape)
+    rx = "(?!x)x" if rx is None else rx  # never-match (NULL stays NULL)
+    return c.rlike(f"^{rx}$")
 
 
 def ilike_match(col, pattern):

@@ -43,6 +43,33 @@ def _cap_buckets(banded: DataFrame, bucket_col: str, cap: int) -> DataFrame:
     )
 
 
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality WITHOUT a Spark job when the plan is
+    file-backed: read one value of ``vec_col`` from the first input
+    parquet file with pyarrow (driver-local footer+page read). Falls
+    back to a driver-side ``first()`` for non-file plans — pass ``dim``
+    explicitly in that case at scale."""
+    try:
+        files = df.inputFiles()
+        if files:
+            import pyarrow.parquet as pq
+
+            path = files[0]
+            for pre in ("file://", "file:"):
+                if path.startswith(pre):
+                    path = path[len(pre):]
+                    break
+            pf = pq.ParquetFile(path)
+            if vec_col in pf.schema_arrow.names:
+                batch = next(pf.iter_batches(batch_size=1, columns=[vec_col]))
+                val = batch.column(0)[0].as_py()
+                if val is not None:
+                    return len(val)
+    except Exception:  # noqa: BLE001 — remote fs / exotic plans: fall through
+        pass
+    return len(df.select(vec_col).first()[0])
+
+
 __all__ = [
     "exact_dedup",
     "shingles",
@@ -281,17 +308,26 @@ def embedding_cosine_dedup(
     seed: int = 42,
     dim: int | None = None,
     max_bucket_size: int = 2000,
+    extra_planes: int = 8,
 ) -> DataFrame:
     """Near-dup embedding pairs: random-hyperplane LSH sign-bucket +
     exact cosine verification. Planes are a deterministic driver-side
     constant (n_planes × dim floats) shipped as literals — no UDF.
 
-    Pass ``dim`` explicitly at scale: inferring it runs a driver-side
-    ``first()`` job over the input."""
+    Unlike minhash/simhash this LSH has exactly ONE bucket per doc, so
+    dropping an oversized bucket would silently lose its pairs — the
+    densest near-dup clusters. Instead, buckets larger than
+    ``max_bucket_size`` are SUB-BUCKETED by ``extra_planes`` additional
+    sign bits (near-dups have close angles, so they mostly share the
+    extra bits too); only sub-buckets still over the cap — essentially
+    identical-vector floods — are dropped, a documented recall loss.
+
+    Pass ``dim`` explicitly at scale: inferring it reads the first
+    parquet row via a driver ``first()`` job."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        dim = _infer_dim(df, vec_col)
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
+    planes = rng.standard_normal((n_planes + extra_planes, dim))
 
     def dot_with_plane(v: Column, p: np.ndarray) -> Column:
         arr = F.array(*[F.lit(float(x)) for x in p])
@@ -307,14 +343,33 @@ def embedding_cosine_dedup(
         bit = (dot_with_plane(v, planes[i]) > 0).cast("long")
         term = F.shiftleft(bit, i)
         sig = term if sig is None else sig.bitwiseOR(term)
+    esig = F.lit(0).cast("long")
+    for i in range(extra_planes):
+        bit = (dot_with_plane(v, planes[n_planes + i]) > 0).cast("long")
+        esig = esig.bitwiseOR(F.shiftleft(bit, i))
     norm = F.sqrt(F.aggregate(F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x))
 
-    h = df.select(F.col(id_col).alias("__id__"), v.alias("__v__"), sig.alias("__b__"), norm.alias("__n__"))
-    h = _cap_buckets(h, "__b__", max_bucket_size)
-    a = h.select(F.col("__id__").alias("id_a"), F.col("__v__").alias("va"), F.col("__n__").alias("na"), "__b__")
-    b = h.select(F.col("__id__").alias("id_b"), F.col("__v__").alias("vb"), F.col("__n__").alias("nb"), "__b__")
+    h = df.select(F.col(id_col).alias("__id__"), v.alias("__v__"), sig.alias("__b__"),
+                  esig.alias("__eb__"), norm.alias("__n__"))
+    if max_bucket_size:
+        # sub-bucket oversized sign-buckets by the extra bits, then drop
+        # only sub-buckets that STILL exceed the cap
+        wb = Window.partitionBy("__b__")
+        h = h.withColumn("__bn__", F.count(F.lit(1)).over(wb))
+        h = h.withColumn(
+            "__sb__",
+            F.when(F.col("__bn__") > max_bucket_size, F.col("__eb__")).otherwise(F.lit(0).cast("long")),
+        ).drop("__bn__", "__eb__")
+        wsb = Window.partitionBy("__b__", "__sb__")
+        h = (h.withColumn("__bn__", F.count(F.lit(1)).over(wsb))
+               .filter(F.col("__bn__") <= max_bucket_size)
+               .drop("__bn__"))
+    else:
+        h = h.withColumn("__sb__", F.lit(0).cast("long")).drop("__eb__")
+    a = h.select(F.col("__id__").alias("id_a"), F.col("__v__").alias("va"), F.col("__n__").alias("na"), "__b__", "__sb__")
+    b = h.select(F.col("__id__").alias("id_b"), F.col("__v__").alias("vb"), F.col("__n__").alias("nb"), "__b__", "__sb__")
     pairs = (
-        a.join(b, "__b__")
+        a.join(b, ["__b__", "__sb__"])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )

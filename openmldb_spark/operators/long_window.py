@@ -43,12 +43,54 @@ from pyspark.sql import types as T
 
 from openmldb_spark.operators.window import Agg, WindowSpec
 
-__all__ = ["long_window_agg"]
+__all__ = ["long_window_agg", "long_window_eligible", "split_decomposable"]
 
 _DECOMPOSABLE = {"sum", "count", "avg", "min", "max",
                  "sum_where", "count_where", "avg_where", "min_where", "max_where"}
 
 _B = "__lw_bucket__"
+
+
+_NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType, T.DecimalType)
+
+
+def _eligible_agg(a: Agg, df: DataFrame | None = None) -> bool:
+    if a.func not in _DECOMPOSABLE or a.split is not None or a.cate is not None:
+        return False
+    if df is not None:
+        base = a.func[:-6] if a.func.endswith("_where") else a.func
+        if base in ("sum", "avg"):
+            # Spark can't SUM timestamps/strings/bools; the kernel's
+            # ms-coercion path handles those
+            if a.col is None or not isinstance(df.schema[a.col].dataType, _NUMERIC):
+                return False
+    return True
+
+
+def long_window_eligible(spec: WindowSpec, aggs: list[Agg],
+                         union=None, df: DataFrame | None = None) -> bool:
+    """True when ``long_window_agg`` can evaluate (spec, aggs) exactly:
+    a plain UNBOUNDED..CURRENT ROW frame and all-decomposable
+    aggregates. Used by ``window_agg(impl='auto')`` and
+    ``window_agg_skewed`` to pick the O(rows)-carry pre-agg plan over
+    per-key single-task windows / O(quantiles × hot) salted expansion."""
+    if union:
+        return False
+    if spec.preceding is not None or spec.maxsize:
+        return False
+    if spec.exclude_current_time or spec.exclude_current_row \
+            or spec.instance_not_in_window or spec.end_preceding \
+            or spec.end_is_offset or spec.open_preceding or spec.open_end:
+        return False
+    return all(_eligible_agg(a, df) for a in aggs)
+
+
+def split_decomposable(aggs: list[Agg], df: DataFrame | None = None) -> tuple[list[Agg], list[Agg]]:
+    """(decomposable, rest) partition of an aggregate list."""
+    dec = [a for a in aggs if _eligible_agg(a, df)]
+    rest = [a for a in aggs if not _eligible_agg(a, df)]
+    return dec, rest
 
 
 def _order_ms(df: DataFrame, order_by: str) -> Column:
@@ -149,8 +191,11 @@ def long_window_agg(
     joined = run.join(carry, on=keys + [_B], how="left")
     out = joined
     int_wrap = (T.ByteType, T.ShortType, T.IntegerType)
+    from openmldb_spark.operators.window import _result_type
+
     for i, a in enumerate(aggs):
         base = a.func[:-6] if a.func.endswith("_where") else a.func
+        rt = _result_type(a, df.schema[a.col].dataType if a.col else T.LongType())
         if base == "sum":
             e = F.coalesce(F.col(f"__ps{i}__"), F.lit(0)) + F.coalesce(F.col(f"__rs{i}__"), F.lit(0))
             e = F.when(F.col(f"__ps{i}__").isNotNull() | F.col(f"__rs{i}__").isNotNull(), e)
@@ -159,7 +204,9 @@ def long_window_agg(
                 bits = {T.ByteType: 8, T.ShortType: 16, T.IntegerType: 32}[type(dt)]
                 e = (F.pmod(e + F.lit(2 ** (bits - 1)), F.lit(2 ** bits)) - 2 ** (bits - 1)).cast(dt)
             elif a.col:
-                e = e.cast(df.schema[a.col].dataType)
+                # decimal partials stay exact through the combine; the
+                # final cast then follows _result_type (decimal → double)
+                e = e.cast(rt)
         elif base == "count":
             e = F.coalesce(F.col(f"__pc{i}__"), F.lit(0)) + F.col(f"__rc{i}__")
         elif base == "avg":
@@ -168,9 +215,9 @@ def long_window_agg(
             e = F.when(c > 0, s.cast("double") / c)
         elif base == "min":
             e = F.least(F.col(f"__pm{i}__"), F.col(f"__rm{i}__"))
-            e = F.coalesce(e, F.col(f"__pm{i}__"), F.col(f"__rm{i}__"))
+            e = F.coalesce(e, F.col(f"__pm{i}__"), F.col(f"__rm{i}__")).cast(rt)
         else:
             e = F.greatest(F.col(f"__pm{i}__"), F.col(f"__rm{i}__"))
-            e = F.coalesce(e, F.col(f"__pm{i}__"), F.col(f"__rm{i}__"))
+            e = F.coalesce(e, F.col(f"__pm{i}__"), F.col(f"__rm{i}__")).cast(rt)
         out = out.withColumn(a.name, e)
     return out.select(*df.columns, *[a.name for a in aggs])

@@ -85,7 +85,9 @@ def lsh_topk(
     knob without re-hashing the corpus.
     """
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        from openmldb_spark.operators.dedup import _infer_dim
+
+        dim = _infer_dim(corpus, vec_col)
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
 

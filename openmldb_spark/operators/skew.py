@@ -64,8 +64,22 @@ def window_agg_skewed(
     union: list[DataFrame] | None = None,
 ) -> DataFrame:
     """``window_agg(impl='kernel')`` with time-quantile salting of hot
-    keys; output identical, physical partitioning finer for hot keys."""
+    keys; output identical, physical partitioning finer for hot keys.
+
+    UNBOUNDED frames whose aggregates are ALL decomposable skip the
+    salted expansion entirely: the context copies would be O(quantiles
+    × hot rows), while ``long_window_agg``'s bucketed carry is O(rows)
+    and inherently skew-free (VERDICT r2 #5). Mixed lists stay salted —
+    the expansion is needed for the non-decomposable aggregates
+    regardless, so a split would only add an extra full pass."""
     keys = list(spec.partition_by)
+
+    if spec.preceding is None and not union:
+        from openmldb_spark.operators.long_window import (
+            long_window_agg, long_window_eligible)
+
+        if long_window_eligible(spec, aggs, union, df):
+            return long_window_agg(df, spec, aggs)
 
     work = with_flags(df, union).withColumn("__oms__", _order_ms_expr(df, spec.order_by))
 

@@ -211,7 +211,20 @@ def window_agg(
     frames only (WINDOW UNION semantics).
     """
     if impl == "auto":
-        impl = "native" if _native_expressible(spec, aggs, union) else "kernel"
+        # UNBOUNDED frames whose aggregates are ALL decomposable route
+        # to the long-window pre-agg plan: O(rows) carry-in, no per-key
+        # single-task window (VERDICT r2 #5). Mixed lists stay on the
+        # kernel — it must buffer the full history for the
+        # non-decomposable aggregates anyway, so evaluating the
+        # decomposable ones alongside is marginal, while a split would
+        # add an entire extra 2-shuffle pass.
+        from openmldb_spark.operators.long_window import (
+            long_window_agg, long_window_eligible)
+
+        if spec.preceding is None and not union \
+                and long_window_eligible(spec, aggs, union, df):
+            return long_window_agg(df, spec, aggs)
+        impl = "native" if _native_expressible(spec, aggs, union, df) else "kernel"
     if impl == "native":
         if union:
             raise ValueError("native path cannot express WINDOW UNION")
@@ -219,16 +232,27 @@ def window_agg(
     return _kernel_window_agg(df, spec, aggs, union)
 
 
-def _native_expressible(spec: WindowSpec, aggs: list[Agg], union) -> bool:
+def _native_expressible(spec: WindowSpec, aggs: list[Agg], union,
+                        df: DataFrame | None = None) -> bool:
     if union or spec.maxsize or spec.open_preceding or spec.exclude_current_time \
             or spec.exclude_current_row or spec.instance_not_in_window \
             or spec.end_preceding or spec.end_is_offset or spec.open_end:
         return False
     if any(a.func not in _NATIVE_OK for a in aggs):
         return False
-    # distinct_count has no native frame-scoped exact form
-    if any(a.func == "distinct_count" for a in aggs):
+    # distinct_count has no native frame-scoped exact form; Spark's
+    # median rejects window frames entirely
+    if any(a.func in ("distinct_count", "median") for a in aggs):
         return False
+    if df is not None:
+        # dialect sums/avgs timestamps and dates in ms space (result is
+        # a timestamp) — only the kernel implements that coercion
+        tdt = (T.TimestampType, T.TimestampNTZType, T.DateType)
+        for a in aggs:
+            base = a.func[:-6] if a.func.endswith("_where") else a.func
+            if base in ("sum", "avg") and a.col is not None \
+                    and isinstance(df.schema[a.col].dataType, tdt):
+                return False
     if spec.frame == "rows_range" and not spec.assume_unique_order:
         # ANSI RANGE includes same-key peers *after* the current row;
         # the reference's buffer-order semantics does not.
@@ -332,15 +356,32 @@ def _to_order_int64(s: pd.Series) -> np.ndarray:
     return s.astype("int64").to_numpy()
 
 
-def _offset_ok(ok: np.ndarray, gid: np.ndarray, margin: int) -> np.ndarray:
+def _offset_ok(ok: np.ndarray, gid: np.ndarray, margin: int) -> np.ndarray | None:
     """Order keys shifted so each key group occupies a disjoint int64
     block — a single global ``searchsorted`` then resolves range frames
-    for EVERY group at once (the multi-group kernel's core trick)."""
+    for EVERY group at once (the multi-group kernel's core trick).
+
+    Returns ``None`` when ``n_groups * step`` would wrap int64 (huge
+    order-key spans, e.g. snowflake ids, times many groups) — callers
+    fall back to a per-group searchsorted, which is slower but exact.
+    """
     if not len(ok):
         return ok
     base = ok.min()
     step = int(ok.max() - base) + margin + 2
+    if int(gid.max()) * step + step > np.iinfo(np.int64).max:
+        return None
     return (ok - base) + gid.astype(np.int64) * step
+
+
+def _grouped_ss(ok: np.ndarray, gs: np.ndarray, delta: int, side: str) -> np.ndarray:
+    """Per-group ``searchsorted(ok, ok - delta)`` fallback for when the
+    group-offset trick (``_offset_ok``) would overflow int64."""
+    out = np.empty(len(ok), dtype=np.int64)
+    bounds = np.r_[np.unique(gs), len(ok)]
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        out[s:e] = s + np.searchsorted(ok[s:e], ok[s:e] - delta, side=side)
+    return out
 
 
 def _frame_bounds(spec: WindowSpec, ok: np.ndarray, emit: np.ndarray,
@@ -361,9 +402,15 @@ def _frame_bounds(spec: WindowSpec, ok: np.ndarray, emit: np.ndarray,
         gs = np.zeros(n, dtype=np.int64)
     margin = abs(int(spec.preceding or 0)) + abs(int(spec.end_preceding or 0))
     sok = _offset_ok(ok, gid, margin) if gid is not None else ok
+    if sok is None:
+        def _ss(delta: int, side: str) -> np.ndarray:
+            return _grouped_ss(ok, gs, delta, side)
+    else:
+        def _ss(delta: int, side: str, _sok=sok) -> np.ndarray:
+            return np.searchsorted(_sok, _sok - delta, side=side)
     has_end = bool(spec.end_preceding) or spec.end_is_offset
     if spec.frame == "rows":
-        first_same = np.searchsorted(sok, sok, side="left") if spec.exclude_current_time else None
+        first_same = _ss(0, "left") if spec.exclude_current_time else None
         anchor = first_same if spec.exclude_current_time else idx
         if has_end:
             e = int(spec.end_preceding) + (1 if spec.open_end else 0)
@@ -388,21 +435,21 @@ def _frame_bounds(spec: WindowSpec, ok: np.ndarray, emit: np.ndarray,
             lo = gs.copy()
         else:
             side = "right" if spec.open_preceding else "left"
-            lo = np.searchsorted(sok, sok - int(spec.preceding), side=side)
+            lo = _ss(int(spec.preceding), side)
         if has_end:
             e = int(spec.end_preceding)
             side_end = "left" if spec.open_end else "right"
-            seg_hi = np.searchsorted(sok, sok - e, side=side_end) - 1
+            seg_hi = _ss(e, side_end) - 1
             inc_cur = np.zeros(n, dtype=bool)
             # negative end offset reaches past the current row: the
             # buffer caps at the current position (current row included
             # in the segment — test_window_row_range.yaml id=45)
             clamp_hi = idx if e < 0 else idx - 1
             if spec.exclude_current_time:
-                seg_hi = np.minimum(seg_hi, np.searchsorted(sok, sok, side="left") - 1)
+                seg_hi = np.minimum(seg_hi, _ss(0, "left") - 1)
         else:
             if spec.exclude_current_time:
-                seg_hi = np.searchsorted(sok, sok, side="left") - 1
+                seg_hi = _ss(0, "left") - 1
             else:
                 seg_hi = idx - 1
             inc_cur = np.full(n, not spec.exclude_current_row)
@@ -820,11 +867,11 @@ def _eval_topn_cate(agg: Agg, pdf: pd.DataFrame, lo, seg_hi, inc_cur,
         if by_key:
             # n largest keys, emitted in descending key order
             items.sort(key=lambda kv: kv[0], reverse=True)
-            sel = items[:topn]
         else:
             # top n by (aggregate value, key), emitted descending
             items.sort(key=lambda kv: (kv[1], kv[0]), reverse=True)
-            sel = items[:topn]
+        # negative n = no limit (udaf_function id=66); 0 = empty
+        sel = items if topn < 0 else items[:topn]
         out[i] = ",".join(f"{_fmt_scalar(k)}:{_fmtv(a)}" for k, a in sel)
     return out
 
@@ -1080,6 +1127,8 @@ def _eval_generic(agg: Agg, pdf: pd.DataFrame, lo, seg_hi, inc_cur,
                 else:
                     items.append(f"{_fmt_scalar(k)}:{int(val) if val == int(val) else val}")
             out[i] = ",".join(items) if items else None
+        else:
+            raise ValueError(f"unknown generic aggregate: {fn}")
     return out
 
 
@@ -1260,6 +1309,12 @@ def make_kernel(spec: WindowSpec, aggs: list[Agg], out_cols: list[str], result_f
         if gid is not None:
             margin = abs(int(spec_b.preceding or 0)) + abs(int(spec_b.end_preceding or 0))
             sok = _offset_ok(ok, gid, margin)
+            if sok is None:
+                # huge-span fallback: _eval_positional only needs the
+                # EQUALITY structure of the keys (first-same-key anchor),
+                # so rank-compress then offset — cannot wrap int64
+                rk = np.unique(ok, return_inverse=True)[1].astype(np.int64)
+                sok = rk + gid.astype(np.int64) * np.int64(len(ok) + 1)
         lo, seg_hi, inc_cur = _frame_bounds(spec_b, ok, emit, gs, gid)
 
         res: dict[str, object] = {}

@@ -218,6 +218,9 @@ def auto_load(
     if schema is None:
         raise ValueError("file sources need a declared schema (no silent inference)")
     return load_data(spark, uri, schema, fmt=fmt or "parquet", **file_opts)
+
+
+def read_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Catalog-or-files table reader: Iceberg/hive table if the catalog
     resolves it, else ``{sf_dir}/{name}.parquet``."""
     if sf_dir is None:

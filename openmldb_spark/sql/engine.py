@@ -338,6 +338,43 @@ def _rewrite_call(sql: str, name: str, make, nargs: int | None = None) -> str:
         pos = m.start() + len(repl)
 
 
+_STRFTIME_MAP = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd", "H": "HH",
+    "M": "mm", "S": "ss", "e": "d", "j": "DDD", "%": "%",
+}
+
+
+def _rewrite_date_format(sql: str) -> str:
+    """Dialect ``date_format(x, '%Y-%m-%d ...')`` uses strftime codes
+    (hybridse date_format → C strftime); Spark wants SimpleDateFormat
+    letters. Translate literal patterns, quoting any other letters so
+    they stay literal text."""
+
+    def go(args):
+        if len(args) != 2:
+            return None
+        m = re.match(r"""^\s*(['"])(.*)\1\s*$""", args[1], re.S)
+        if not m or "%" not in m.group(2):
+            return None
+        pat = m.group(2)
+        out = []
+        i = 0
+        while i < len(pat):
+            ch = pat[i]
+            if ch == "%" and i + 1 < len(pat):
+                out.append(_STRFTIME_MAP.get(pat[i + 1], pat[i + 1]))
+                i += 2
+            elif ch.isalpha():
+                out.append(f"'{ch}'")
+                i += 1
+            else:
+                out.append(ch)
+                i += 1
+        return f"date_format({args[0]}, '{''.join(out)}')"
+
+    return _rewrite_call(sql, "date_format", go)
+
+
 _NUMERIC_TYPEOF = "('tinyint','smallint','int','bigint','float','double')"
 
 
@@ -368,6 +405,53 @@ def _rewrite_ts_date_fns(sql: str) -> str:
         return _poly_timestamp(m.group(1))
 
     return _rewrite_call(sql, "cast", cast_ts)
+
+
+def _dialect_str(x: str) -> str:
+    """Dialect value → string rendering (hybridse cast rules): floats
+    print minimally ('30', not '30.0'), timestamps print to seconds in
+    the session zone; everything else is Spark's cast. Every branch is
+    built over CAST(x AS STRING) so the CASE type-checks for ANY input
+    type (typeof() picks the live branch at runtime)."""
+    s = f"CAST(({x}) AS STRING)"
+    d = f"CAST({s} AS DOUBLE)"
+    b = f"CAST({d} AS BIGINT)"
+    return (f"CASE WHEN typeof(({x})) IN ('float','double') THEN "
+            f"IF({d} = {b}, CAST({b} AS STRING), {s}) "
+            f"WHEN typeof(({x})) = 'timestamp' "
+            f"THEN date_format(CAST({s} AS TIMESTAMP), 'yyyy-MM-dd HH:mm:ss') "
+            f"ELSE {s} END")
+
+
+def _rewrite_str_casts(sql: str) -> str:
+    """``CAST(x AS STRING)`` / ``string(x)`` and concat/concat_ws args
+    follow the dialect's rendering; concat_ws additionally propagates
+    NULL from ANY argument (Spark's skips them —
+    function/test_string.yaml id=3)."""
+
+    def cast_str(args):
+        if len(args) != 1:
+            return None
+        m = re.match(r"(?is)^(.*)\s+AS\s+STRING\s*$", args[0])
+        if not m:
+            return None
+        return _dialect_str(m.group(1))
+
+    sql = _rewrite_call(sql, "cast", cast_str)
+    sql = _rewrite_call(sql, "string",
+                        lambda a: _dialect_str(a[0]) if len(a) == 1 else None)
+
+    def cw(args):
+        if len(args) < 2:
+            return None
+        nulls = " OR ".join(f"({a}) IS NULL" for a in args)
+        inner = ", ".join(_dialect_str(a) for a in args)
+        return f"IF({nulls}, CAST(NULL AS STRING), concat_ws({inner}))"
+
+    sql = _rewrite_call(sql, "concat_ws", cw)
+    return _rewrite_call(
+        sql, "concat",
+        lambda a: ("concat(" + ", ".join(_dialect_str(x) for x in a) + ")") if a else None)
 
 
 def _rewrite_fz_scalars(sql: str) -> str:
@@ -536,6 +620,76 @@ def _rewrite_bool_arith(sql: str, bool_cols: set[str]) -> str:
     return sql
 
 
+_NUM_FNS = ("abs", "floor", "ceil", "ceiling", "round", "truncate", "sqrt",
+            "pow", "power", "log", "log2", "log10", "ln", "exp", "sin",
+            "cos", "tan", "asin", "acos", "atan", "cot", "degrees",
+            "radians", "pmod")
+
+_DATEPART_FNS = ("day", "dayofmonth", "dayofweek", "month", "weekofyear",
+                 "year", "hour", "minute", "second")
+
+
+def _wrap_col_args(sql: str, fns, cols: set[str], wrap) -> str:
+    """For each ``fn`` in ``fns``, wrap arguments that are bare
+    references to one of ``cols`` (optionally table-qualified) with
+    ``wrap`` — the dialect's implicit-cast rules at call sites."""
+    if not cols:
+        return sql
+    low = {c.lower() for c in cols}
+
+    def mk(fn):
+        def go(args):
+            changed = False
+            out = []
+            for a in args:
+                t = a.strip()
+                if re.fullmatch(r"[\w.]+", t) and t.split(".")[-1].lower() in low:
+                    out.append(wrap(t))
+                    changed = True
+                else:
+                    out.append(a)
+            return f"{fn}({', '.join(out)})" if changed else None
+        return go
+
+    for fn in fns:
+        sql = _rewrite_call(sql, fn, mk(fn))
+    return sql
+
+
+def _rewrite_bool_fn_args(sql: str, bool_cols: set[str]) -> str:
+    """Boolean columns passed to numeric functions coerce to int
+    (dialect: ``abs(c5)`` with c5 bool — function/test_calculate)."""
+    return _wrap_col_args(sql, _NUM_FNS, bool_cols,
+                          lambda t: f"CAST({t} AS INT)")
+
+
+def _rewrite_log_zero(sql: str) -> str:
+    """Dialect log functions follow C semantics at 0: log(0) = -inf
+    (Spark returns NULL — function/test_calculate id=4)."""
+    neg_inf = "CAST('-Infinity' AS DOUBLE)"
+
+    def mk(fn):
+        def go(args):
+            if len(args) == 1:
+                return f"IF(({args[0]}) = 0, {neg_inf}, {fn}({args[0]}))"
+            if fn == "log" and len(args) == 2:
+                return f"IF(({args[1]}) = 0, {neg_inf}, log({args[0]}, {args[1]}))"
+            return None
+        return go
+
+    for fn in ("log", "log2", "log10", "ln"):
+        sql = _rewrite_call(sql, fn, mk(fn))
+    return sql
+
+
+def _rewrite_datefn_int(sql: str, int_cols: set[str]) -> str:
+    """Integer columns passed to date-part functions are ms-epoch
+    timestamps (dialect: ``day(c4)`` with c4 bigint —
+    function/test_date.yaml id=2: 30 → 1970-01-01)."""
+    return _wrap_col_args(sql, _DATEPART_FNS, int_cols,
+                          lambda t: f"timestamp_millis(CAST({t} AS BIGINT))")
+
+
 def _split_and_clauses(cond_txt: str) -> list[str]:
     """Split a join condition on AND, keeping BETWEEN x AND y whole."""
     parts = re.split(r"(?i)\bAND\b", cond_txt)
@@ -569,20 +723,7 @@ def _rewrite_like_escape(sql: str) -> str:
     '' (escaping disabled, wildcards live) and dangling escapes (never
     match). Lower to RLIKE with a translated regex."""
 
-    def trans(pat: str, esc: str) -> str | None:
-        out = []
-        i = 0
-        while i < len(pat):
-            ch = pat[i]
-            if esc and ch == esc:
-                if i + 1 >= len(pat):
-                    return None  # dangling escape: matches nothing
-                out.append(re.escape(pat[i + 1]))
-                i += 2
-                continue
-            out.append(".*" if ch == "%" else "." if ch == "_" else re.escape(ch))
-            i += 1
-        return "".join(out)
+    from openmldb_spark.functions.scalar import like_regex as trans
 
     def repl(m):
         neg, op = m.group(2), m.group(3).upper()
@@ -995,6 +1136,14 @@ class SqlEngine:
         q = _rewrite_like_match(q)
         q = _rewrite_like_escape(q)
         q = _rewrite_call(q, "inc", lambda a: f"(({a[0]}) + 1)" if len(a) == 1 else None)
+        q = _rewrite_call(q, "strcmp", lambda a: (
+            f"IF(({a[0]}) IS NULL OR ({a[1]}) IS NULL, CAST(NULL AS INT), "
+            f"IF(({a[0]}) < ({a[1]}), -1, IF(({a[0]}) > ({a[1]}), 1, 0)))"
+            if len(a) == 2 else None))
+        q = _rewrite_date_format(q)
+        # str-casts first: _poly_timestamp synthesizes CAST(.. AS STRING)
+        # round-trips that must keep Spark semantics (millis intact)
+        q = _rewrite_str_casts(q)
         q = _rewrite_ts_date_fns(q)
 
         # WITH ctes: evaluate and register sequentially (shadowing OK)
@@ -1364,8 +1513,16 @@ class SqlEngine:
         }
         bool_cols = {f.name for f in df.schema.fields if isinstance(f.dataType, T.BooleanType)}
 
+        int_cols = {
+            f.name for f in df.schema.fields
+            if isinstance(f.dataType, (T.ShortType, T.IntegerType, T.LongType))
+        }
+
         def code_rewrites(s: str) -> str:
             s = _rewrite_bool_arith(s, bool_cols)
+            s = _rewrite_bool_fn_args(s, bool_cols)
+            s = _rewrite_log_zero(s)
+            s = _rewrite_datefn_int(s, int_cols)
             s = _rewrite_cmp_coercions(s, df)
             s = _rewrite_logic_coercions(s, df)
             return _rewrite_ts_arith(s, ts_cols)
@@ -1458,7 +1615,9 @@ class SqlEngine:
             cond = BOOL(args[1])
             cate = EC(args[2])
         elif fname.endswith("_where"):
-            col = EC(args[0])
+            # count_where(*, cond) counts every frame row passing cond
+            col = None if (fname == "count_where" and args[0].strip() == "*") \
+                else EC(args[0])
             cond = BOOL(args[1])
         elif fname.endswith("_cate"):
             col = EC(args[0])

@@ -10,11 +10,22 @@ from __future__ import annotations
 
 import math
 from datetime import date as _date
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 
 import pandas as pd
 import yaml
 from pyspark.sql import types as T
+
+# The reference's golden expectations were produced on a build host in
+# Asia/Shanghai (CST, fixed UTC+8 since 1991): hour()/day(), timestamp
+# → string casts and date_format all render local time. The corpus
+# replays under the same zone — epoch-ms inputs/expectations convert to
+# +08:00 wall clocks and the Spark session runs with
+# spark.sql.session.timeZone=Asia/Shanghai for the duration of each
+# case (restored afterwards), so instants stay exact AND renderings
+# match the reference byte-for-byte.
+CORPUS_TZ = timezone(timedelta(hours=8))
+CORPUS_TZ_NAME = "Asia/Shanghai"
 
 _TYPES = {
     "bool": T.BooleanType(),
@@ -46,13 +57,24 @@ def parse_schema(cols) -> T.StructType:
     return T.StructType(fields)
 
 
-def _conv(v, dt):
+def _conv(v, dt, for_input: bool = False):
+    """Convert one corpus literal to a Python value.
+
+    Timestamps: epoch-ms ints and string forms are both the reference
+    harness's UTC-based encodings of instants (sql_case.cc parses
+    strings with gmtime). ``for_input=True`` yields a tz-AWARE datetime
+    (createDataFrame stores the exact instant regardless of session /
+    OS zone); expected-side values yield the corpus zone's NAIVE wall
+    clock — what ``toPandas`` renders under the Shanghai session."""
     if v is None or (isinstance(v, str) and v.lower() in ("null", "none")):
         return None
     if isinstance(dt, T.TimestampType):
         if isinstance(v, (int, float)):
-            return datetime.fromtimestamp(v / 1000.0, tz=timezone.utc).replace(tzinfo=None)
-        return pd.Timestamp(v).to_pydatetime()
+            aware = datetime.fromtimestamp(v / 1000.0, tz=CORPUS_TZ)
+        else:
+            aware = (pd.Timestamp(v).tz_localize(timezone.utc)
+                     .tz_convert(CORPUS_TZ).to_pydatetime())
+        return aware if for_input else aware.replace(tzinfo=None)
     if isinstance(dt, T.DateType):
         return pd.Timestamp(v).date()
     if isinstance(dt, (T.FloatType, T.DoubleType)):
@@ -124,7 +146,7 @@ def build_df(spark, inp: dict):
             if line.strip()
         ]
     def conv_in(v, dt):
-        v = _conv(v, dt)
+        v = _conv(v, dt, for_input=True)
         if isinstance(v, str):
             v = _unesc(v)
         return v
@@ -205,6 +227,17 @@ def run_case(spark, case: dict):
         # the reference marks these expectations as broken in its own
         # C++ unit tests
         return None, f"reference TODO tag {tags} (skipped)"
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", CORPUS_TZ_NAME)
+    try:
+        return _run_case_in_corpus_tz(spark, case, expect)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def _run_case_in_corpus_tz(spark, case: dict, expect: dict):
+    from openmldb_spark.sql import SqlEngine
 
     eng = SqlEngine(spark)
     names = []

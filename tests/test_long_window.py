@@ -70,6 +70,42 @@ def test_long_window_rejects_bounded_and_nondecomposable(spark):
                         [Agg("distinct_count", "v", "d")])
 
 
+def test_auto_routes_unbounded_decomposable_to_preagg(spark):
+    """window_agg(impl='auto') and window_agg_skewed pick the 0-Python
+    pre-agg plan for plain UNBOUNDED frames with decomposable
+    aggregates (VERDICT r2 #5) — and results still match the kernel."""
+    from openmldb_spark.operators.skew import window_agg_skewed
+
+    df = _random_df(spark, n=300)
+    spec = WindowSpec(["k"], "ts", "rows", None, tiebreak=["id"])
+    sub = [Agg("sum", "v", "s"), Agg("avg", "v", "a"), Agg("count", None, "c")]
+    exact = window_agg(df, spec, sub, impl="kernel").orderBy("id").toPandas()
+    for out in (window_agg(df, spec, sub, impl="auto"),
+                window_agg_skewed(df, spec, sub, quantiles=3, hot_threshold=10)):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "InPandas" not in plan and "Python" not in plan
+        got = out.orderBy("id").toPandas()
+        for col in ("s", "a", "c"):
+            for i in range(len(exact)):
+                e, g = exact[col].iloc[i], got[col].iloc[i]
+                en = e is None or e != e
+                gn = g is None or g != g
+                assert en == gn, f"{col} row {i}: {e!r} vs {g!r}"
+                if not en:
+                    assert float(e) == pytest.approx(float(g), abs=1e-9)
+
+
+def test_auto_keeps_kernel_for_mixed_aggs(spark):
+    """A non-decomposable aggregate keeps the whole list on the kernel
+    (one buffered pass beats kernel + an extra pre-agg pass)."""
+    df = _random_df(spark, n=100)
+    spec = WindowSpec(["k"], "ts", "rows", None, tiebreak=["id"])
+    out = window_agg(df, spec, [Agg("sum", "v", "s"),
+                                Agg("distinct_count", "v", "d")], impl="auto")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InPandas" in plan
+
+
 def test_long_window_plan_is_native(spark):
     """Zero Python nodes — the whole pre-agg + carry + running-window
     plan stays in Catalyst/whole-stage codegen."""

@@ -31,6 +31,9 @@ FILES = (
         "/root/reference/cases/function/select/test_sub_select.yaml",
         "/root/reference/cases/function/function/test_like_match.yaml",
         "/root/reference/cases/function/function/test_udf_function.yaml",
+        "/root/reference/cases/function/function/test_calculate.yaml",
+        "/root/reference/cases/function/function/test_date.yaml",
+        "/root/reference/cases/function/function/test_string.yaml",
         "/root/reference/cases/function/select/test_select_sample.yaml",
         "/root/reference/cases/function/select/test_where.yaml",
         "/root/reference/cases/query/simple_query.yaml",
