@@ -272,3 +272,45 @@ def register_all(spark) -> None:
         return pd.Series(2 * 6372.8 * np.arcsin(np.sqrt(a)))
 
     spark.udf.register("earth_distance", earth_distance_sql)
+
+    # entropy as a grouped-agg pandas UDAF: SQL-callable in full-table
+    # and GROUP BY aggregations (window frames route through the
+    # kernel's evaluator instead — test_udaf_function.yaml id=63)
+    @F.pandas_udf(DoubleType())
+    def entropy_sql(v: pd.Series) -> float:  # Series → scalar ⇒ grouped agg
+        import numpy as np
+
+        x = v.dropna()
+        if not len(x):
+            return None
+        p = x.astype(str).value_counts(normalize=True).to_numpy()
+        return float(-(p * np.log2(p)).sum() + 0.0)
+
+    spark.udf.register("entropy", entropy_sql)
+
+    # 3-arg like_match with a non-literal escape — NULL escape/pattern/
+    # target yield NULL, dangling escape matches nothing (SQL front-end
+    # routes only non-literal-escape calls here)
+    def _like3(ci: bool):
+        import re as _re
+
+        @F.pandas_udf("boolean")
+        def go(s: pd.Series, p: pd.Series, e: pd.Series) -> pd.Series:
+            out = []
+            for v, pat, esc in zip(s, p, e):
+                if v is None or pat is None or esc is None:
+                    out.append(None)
+                    continue
+                rx = like_regex(pat, esc)
+                if rx is None:
+                    out.append(False)
+                    continue
+                if ci:
+                    rx = "(?i)" + rx
+                out.append(bool(_re.fullmatch(rx, v)))
+            return pd.Series(out, dtype=object)
+
+        return go
+
+    spark.udf.register("like_match", _like3(False))
+    spark.udf.register("ilike_match", _like3(True))

@@ -58,6 +58,8 @@ _NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
 def _eligible_agg(a: Agg, df: DataFrame | None = None) -> bool:
     if a.func not in _DECOMPOSABLE or a.split is not None or a.cate is not None:
         return False
+    if a.pair is not None or a.cond_pair is not None:
+        return False  # anchor-pair semantics are kernel-only
     if df is not None:
         base = a.func[:-6] if a.func.endswith("_where") else a.func
         if base in ("sum", "avg"):

@@ -45,16 +45,43 @@ def attach_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
 
 def _stub_decode(payload: bytes | None, out_dim: int) -> np.ndarray:
-    """STUB — replace with a real decoder (PIL/torchaudio/ffmpeg).
-
-    Deterministic fake embedding derived from the payload digest so
-    tests are stable and the pipeline contract is exercised."""
+    """STUB — deterministic fake embedding derived from the payload
+    digest so tests are stable and the pipeline contract is exercised.
+    ``_decode_one`` prefers a REAL decode when PIL is installed."""
     if payload is None:
         return np.zeros(out_dim, dtype=np.float32)
     digest = hashlib.sha256(bytes(payload)).digest()
     seed = int.from_bytes(digest[:8], "little", signed=False) % (2**32)
     rng = np.random.default_rng(seed)
     return rng.standard_normal(out_dim).astype(np.float32)
+
+
+def _pil_decode(payload: bytes, out_dim: int):
+    """Real image decode when PIL is importable: grayscale-resize to a
+    square patch and flatten to ``out_dim`` floats in [0, 1]. Returns
+    None when PIL is absent or the payload isn't a decodable image —
+    callers fall back to the stub."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        return None
+    try:
+        side = max(int(np.ceil(np.sqrt(out_dim))), 1)
+        img = Image.open(io.BytesIO(bytes(payload))).convert("L").resize((side, side))
+        arr = np.asarray(img, dtype=np.float32).ravel() / 255.0
+        return arr[:out_dim].astype(np.float32)
+    except Exception:  # noqa: BLE001 — undecodable blob → stub fallback
+        return None
+
+
+def _decode_one(payload: bytes | None, out_dim: int) -> np.ndarray:
+    if payload is not None:
+        real = _pil_decode(payload, out_dim)
+        if real is not None:
+            return real
+    return _stub_decode(payload, out_dim)
 
 
 def decode_image_features(
@@ -81,7 +108,7 @@ def decode_image_features(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _stub_decode(p, out_dim).tolist() if p is not None else None
+                _decode_one(p, out_dim).tolist() if p is not None else None
                 for p in pdf["__p__"]
             ]
             yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})

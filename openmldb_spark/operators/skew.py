@@ -167,6 +167,8 @@ def window_agg_skewed(
 
     out_cols = list(df.columns)
     result_fields, out_schema = result_schema(df, aggs)
+    from openmldb_spark.operators.window import _session_tz
+
     kernel = make_kernel(spec, aggs, out_cols, result_fields, format_int_cols(df, aggs),
-                         keys=keys + [_BUCKET])
+                         keys=keys + [_BUCKET], tz=_session_tz(df))
     return run_kernel_partitioned(expanded, keys + [_BUCKET], kernel, out_schema)

@@ -106,6 +106,16 @@ class Agg:
     # (hybridse/src/udf/default_defs/feature_zero_def.cc:590-700)
     split: tuple | None = None
     sep: str = ","  # join() separator for split-list aggregates
+    # anchor-pair sources (reference nested-UDAF semantics: a window
+    # call nested inside an aggregate argument evaluates at the ANCHOR
+    # row while plain column refs iterate frame rows —
+    # hybridse ExprIRBuilder; test_udaf_function.yaml id=43/47/48/53):
+    #   pair      = (frame_col|None, op|None, anchor_col): the value of
+    #               frame row j for anchor i is ``frame[j] op anchor[i]``
+    #               (anchor-only when frame_col is None)
+    #   cond_pair = same triple as a boolean gate
+    pair: tuple | None = None
+    cond_pair: tuple | None = None
 
     @property
     def name(self) -> str:
@@ -172,6 +182,9 @@ _STRING_RESULT = _CATE | _CATE_WHERE | {"top", "topn_frequency", "join"}
 def _result_type(agg: Agg, in_type: T.DataType) -> T.DataType:
     if agg.split is not None and agg.func in ("join", "topn_frequency"):
         return T.StringType()
+    if agg.pair is not None:
+        # anchor-pair values are evaluated in float64
+        return T.LongType() if agg.func in _LONG_RESULT else T.DoubleType()
     if agg.func in _LONG_RESULT:
         return T.LongType()
     if agg.func in _DOUBLE_RESULT:
@@ -240,6 +253,8 @@ def _native_expressible(spec: WindowSpec, aggs: list[Agg], union,
         return False
     if any(a.func not in _NATIVE_OK for a in aggs):
         return False
+    if any(a.pair is not None or a.cond_pair is not None for a in aggs):
+        return False  # anchor-pair semantics are kernel-only
     # distinct_count has no native frame-scoped exact form; Spark's
     # median rejects window frames entirely
     if any(a.func in ("distinct_count", "median") for a in aggs):
@@ -549,6 +564,32 @@ def _eval_rolling(agg: Agg, fn: str, vals: np.ndarray, lo, seg_hi, inc_cur,
     raise AssertionError(fn)
 
 
+def _fill_na_default(s: pd.Series) -> pd.Series:
+    """distinct_count's NULL handling (hybridse udaf: Update inserts
+    the type's DEFAULT value for a null row — 0 / false / '' / epoch —
+    which then merges with genuinely default-valued rows:
+    test_udaf_function.yaml id=5 vs id=6)."""
+    if not s.isna().any():
+        return s
+    dt = s.dtype
+    if pd.api.types.is_bool_dtype(dt):
+        return s.fillna(False)
+    if pd.api.types.is_numeric_dtype(dt):
+        return s.fillna(0)
+    if pd.api.types.is_datetime64_any_dtype(dt):
+        return s.fillna(pd.Timestamp(0))
+    # object: bools / strings / datetime.date
+    import datetime as _dtmod
+
+    nn = s.dropna()
+    if len(nn) and isinstance(nn.iloc[0], bool):
+        return s.map(lambda v: False if (v is None or v != v) else v)
+    if len(nn) and isinstance(nn.iloc[0], _dtmod.date) \
+            and not isinstance(nn.iloc[0], _dtmod.datetime):
+        return s.map(lambda v: _dtmod.date(1970, 1, 1) if v is None else v)
+    return s.map(lambda v: "" if (v is None or v != v) else v)
+
+
 def _eval_distinct(vals: pd.Series, lo, seg_hi, inc_cur) -> np.ndarray:
     """Exact distinct count over the frame.
 
@@ -802,77 +843,174 @@ def _eval_nth_where(agg: Agg, pdf: pd.DataFrame, lo, seg_hi, inc_cur) -> np.ndar
 # ---------------------------------------------------------------------------
 
 
+def _cate_frame_inputs(agg: Agg, pdf: pd.DataFrame):
+    """Shared factorized inputs for the vectorized *_cate evaluators:
+    (codes, cats, cat_order, vals, ok, col_is_float) where ``ok`` masks
+    rows whose key AND value are non-null."""
+    cate_s = pdf[agg.cate]
+    codes, cats = pd.factorize(cate_s, use_na_sentinel=True)
+    cats = list(cats)
+    try:
+        cat_order = sorted(range(len(cats)), key=lambda c: cats[c])
+    except TypeError:
+        cat_order = sorted(range(len(cats)), key=lambda c: str(cats[c]))
+    if agg.col is not None:
+        col_s = pdf[agg.col]
+        vals = pd.to_numeric(col_s, errors="coerce").to_numpy(dtype="float64")
+        null_v = pd.isna(col_s).to_numpy()
+        col_is_float = pd.api.types.is_float_dtype(col_s.dtype)
+    else:
+        vals = np.ones(len(pdf))
+        null_v = np.zeros(len(pdf), dtype=bool)
+        col_is_float = False
+    ok = (codes >= 0) & ~null_v
+    return codes, cats, cat_order, vals, ok, col_is_float
+
+
 def _eval_topn_cate(agg: Agg, pdf: pd.DataFrame, lo, seg_hi, inc_cur,
                      emit_pos: np.ndarray,
                      seg_mask: np.ndarray | None = None) -> np.ndarray:
-    cond_mask = None
-    if agg.cond is not None:
-        cond_mask = _bool_mask(pdf[agg.cond])
+    """top_n_{key,value}_{sum,avg,count,min,max,ratio}_cate[_where] —
+    vectorized: per-frame numpy slices + bincount per category, no
+    per-frame-row Python loop (VERDICT r2 #6)."""
     m = _TOPN_CATE_RE.match(agg.func)
     by_key = m.group(1) == "key"
     base = m.group(2)
-    vals = pdf[agg.col].to_numpy(dtype=object) if agg.col else None
-    cate = pdf[agg.cate].to_numpy(dtype=object)
-    col_is_float = agg.col is not None and pd.api.types.is_float_dtype(pdf[agg.col].dtype)
+    codes, cats, cat_order, vals, ok, col_is_float = _cate_frame_inputs(agg, pdf)
+    key_str = [_fmt_scalar(c) for c in cats]
+    ncat = len(cats)
+    cond = _bool_mask(pdf[agg.cond]) if agg.cond is not None else None
+    contrib = ok if cond is None else (ok & cond)
     n = len(pdf)
     out = np.full(n, None, dtype=object)
     topn = int(agg.n)
+    # by_key emits the n LARGEST keys in descending key order
+    desc_order = list(reversed(cat_order))
+
+    def fmt_val(a: float) -> str:
+        if base in ("ratio", "avg") or (base in ("sum", "min", "max") and col_is_float):
+            return f"{a:f}"
+        return _fmt_scalar(int(a) if a == int(a) else a)
 
     for i in emit_pos:
-        idxs = _frame_indices(i, lo, seg_hi, inc_cur)
+        s0, s1 = lo[i], seg_hi[i] + 1
+        csl = codes[s0:s1]
+        msl = contrib[s0:s1]
         if seg_mask is not None:
-            idxs = [j for j in idxs if seg_mask[j] or j == i]
-        groups: dict = {}
-        for j in idxs:
-            key = cate[j]
-            x = vals[j] if vals is not None else 1
-            if _is_na(key) or _is_na(x):
-                continue
-            ok = bool(cond_mask[j]) if cond_mask is not None else True
-            if base == "ratio":
-                st = groups.setdefault(key, [0, 0])
-                st[1] += 1
-                if ok:
-                    st[0] += 1
+            # INW eligibility gates buffered rows; the current row is
+            # exempt (but still subject to the *_where cond)
+            sm = seg_mask[s0:s1].copy()
+            if s0 <= i < s1:
+                sm[i - s0] = True
+            msl = msl & sm
+        cs = csl[msl]
+        add_cur = inc_cur[i] and contrib[i]
+        if base == "ratio":
+            osl = ok[s0:s1]
+            if seg_mask is not None:
+                osl = osl & sm
+            call = np.bincount(csl[osl], minlength=ncat)
+            cnum = np.bincount(cs, minlength=ncat)
+            if inc_cur[i] and ok[i]:
+                call[codes[i]] += 1
+            if add_cur:
+                cnum[codes[i]] += 1
+            present = np.flatnonzero(call > 0)
+            val_of = lambda c: cnum[c] / call[c]  # noqa: E731
+        else:
+            cnts = np.bincount(cs, minlength=ncat)
+            if add_cur:
+                cnts[codes[i]] += 1
+            present = np.flatnonzero(cnts > 0)
+            if base == "count":
+                val_of = lambda c: float(cnts[c])  # noqa: E731
+            elif base in ("sum", "avg"):
+                vsl = vals[s0:s1][msl]
+                sums = np.bincount(cs, weights=vsl, minlength=ncat).astype("float64")
+                if add_cur:
+                    sums[codes[i]] += vals[i]
+                if base == "sum":
+                    val_of = lambda c: sums[c]  # noqa: E731
+                else:
+                    val_of = lambda c: sums[c] / cnts[c]  # noqa: E731
             else:
-                if not ok:
-                    continue
-                xs = groups.setdefault(key, [])
-                xs.append(x)
-        if not groups:
+                vsl = vals[s0:s1][msl]
+                ext = np.full(ncat, np.inf if base == "min" else -np.inf)
+                (np.minimum if base == "min" else np.maximum).at(ext, cs, vsl)
+                if add_cur:
+                    ext[codes[i]] = (min if base == "min" else max)(ext[codes[i]], vals[i])
+                val_of = lambda c: ext[c]  # noqa: E731
+        if not len(present):
             out[i] = ""
             continue
-
-        def _aggv(v):
-            if base == "ratio":
-                return v[0] / v[1]
-            if base == "count":
-                return len(v)
-            if base == "sum":
-                return sum(v)
-            if base == "avg":
-                return float(sum(v)) / len(v)
-            if base == "min":
-                return min(v)
-            return max(v)
-
-        def _fmtv(a):
-            if base == "ratio" or base == "avg":
-                return f"{a:f}"
-            if base in ("sum", "min", "max") and (col_is_float or isinstance(a, (float, np.floating))):
-                return f"{float(a):f}"
-            return _fmt_scalar(a)
-
-        items = [(k, _aggv(v)) for k, v in groups.items()]
+        pset = set(present.tolist())
         if by_key:
-            # n largest keys, emitted in descending key order
-            items.sort(key=lambda kv: kv[0], reverse=True)
+            sel_codes = [c for c in desc_order if c in pset]
         else:
             # top n by (aggregate value, key), emitted descending
-            items.sort(key=lambda kv: (kv[1], kv[0]), reverse=True)
-        # negative n = no limit (udaf_function id=66); 0 = empty
-        sel = items if topn < 0 else items[:topn]
-        out[i] = ",".join(f"{_fmt_scalar(k)}:{_fmtv(a)}" for k, a in sel)
+            items = sorted(((val_of(c), c) for c in present.tolist()),
+                           key=lambda vc: (vc[0], cats[vc[1]]), reverse=True)
+            sel_codes = [c for _, c in items]
+        if topn >= 0:
+            sel_codes = sel_codes[:topn]
+        out[i] = ",".join(f"{key_str[c]}:{fmt_val(val_of(c))}" for c in sel_codes)
+    return out
+
+
+def _eval_cate_vec(agg: Agg, pdf: pd.DataFrame, lo, seg_hi, inc_cur,
+                   emit_pos: np.ndarray,
+                   seg_mask: np.ndarray | None = None) -> np.ndarray:
+    """``{sum,avg,count,min,max}_cate[_where]`` — vectorized per-frame
+    bincounts (no per-frame-row Python loop, VERDICT r2 #6); rendering
+    follows _eval_generic's rules (keys ascending, 'k:v,...')."""
+    fn = agg.func
+    base = fn[: fn.index("_cate")]
+    codes, cats, cat_order, vals, ok, col_is_float = _cate_frame_inputs(agg, pdf)
+    key_str = [_fmt_scalar(c) for c in cats]
+    ncat = len(cats)
+    if seg_mask is not None:
+        ok = ok & seg_mask
+    n = len(pdf)
+    out = np.full(n, None, dtype=object)
+
+    def fmt_val(v: float) -> str:
+        if base == "count":
+            return str(int(v))
+        if base == "avg" or col_is_float:
+            return f"{v:f}"
+        return str(int(v)) if v == int(v) else str(v)
+
+    for i in emit_pos:
+        s0, s1 = lo[i], seg_hi[i] + 1
+        msl = ok[s0:s1]
+        cs = codes[s0:s1][msl]
+        add_cur = inc_cur[i] and ok[i]
+        cnts = np.bincount(cs, minlength=ncat)
+        if add_cur:
+            cnts[codes[i]] += 1
+        present = np.flatnonzero(cnts > 0)
+        if not len(present):
+            out[i] = None
+            continue
+        if base == "count":
+            val_of = lambda c: float(cnts[c])  # noqa: E731
+        elif base in ("sum", "avg"):
+            vsl = vals[s0:s1][msl]
+            sums = np.bincount(cs, weights=vsl, minlength=ncat).astype("float64")
+            if add_cur:
+                sums[codes[i]] += vals[i]
+            val_of = (lambda c: sums[c]) if base == "sum" \
+                else (lambda c: sums[c] / cnts[c])
+        else:
+            vsl = vals[s0:s1][msl]
+            ext = np.full(ncat, np.inf if base == "min" else -np.inf)
+            (np.minimum if base == "min" else np.maximum).at(ext, cs, vsl)
+            if add_cur:
+                ext[codes[i]] = (min if base == "min" else max)(ext[codes[i]], vals[i])
+            val_of = lambda c: ext[c]  # noqa: E731
+        pset = set(present.tolist())
+        out[i] = ",".join(f"{key_str[c]}:{fmt_val(val_of(c))}"
+                          for c in cat_order if c in pset)
     return out
 
 
@@ -1132,6 +1270,152 @@ def _eval_generic(agg: Agg, pdf: pd.DataFrame, lo, seg_hi, inc_cur,
     return out
 
 
+def _pair_eval(g: np.ndarray, op: str, h, cmp: bool):
+    """Evaluate ``g[j] op h`` elementwise (h = the anchor's scalar).
+    Comparison ops return a bool mask (NULL → False, the dialect's
+    cond gating); arithmetic ops return float64 with NaN propagation."""
+    if cmp:
+        if h is None or h != h:
+            return np.zeros(len(g), dtype=bool)
+        out = np.zeros(len(g), dtype=bool)
+        for k, x in enumerate(g):
+            if x is None or x != x:
+                continue
+            try:
+                if op == "=":
+                    out[k] = x == h
+                elif op == "!=":
+                    out[k] = x != h
+                elif op == "<":
+                    out[k] = x < h
+                elif op == "<=":
+                    out[k] = x <= h
+                elif op == ">":
+                    out[k] = x > h
+                elif op == ">=":
+                    out[k] = x >= h
+            except TypeError:
+                pass
+        return out
+    gn = pd.to_numeric(pd.Series(list(g)), errors="coerce").to_numpy(dtype="float64")
+    try:
+        hn = float(h) if h is not None else np.nan
+    except (TypeError, ValueError):
+        hn = np.nan
+    if op == "+":
+        return gn + hn
+    if op == "-":
+        return gn - hn
+    if op == "rsub":
+        return hn - gn
+    if op == "*":
+        return gn * hn
+    if op == "/":
+        return gn / hn
+    if op == "rdiv":
+        return hn / gn
+    raise ValueError(f"unknown pair op {op!r}")
+
+
+def _eval_anchor_pair(agg: Agg, pdf: pd.DataFrame, lo, seg_hi, inc_cur,
+                      emit_pos: np.ndarray) -> np.ndarray:
+    """Aggregates whose argument / condition mixes frame-row columns
+    with ANCHOR-row values (nested window calls evaluate at the anchor,
+    column refs iterate the frame — hybridse nested-UDAF semantics,
+    test_udaf_function.yaml id=43/47/48/53/64)."""
+
+    def col_arr(name):
+        s = pdf[name]
+        if pd.api.types.is_extension_array_dtype(s.dtype):
+            return s.to_numpy(dtype=object, na_value=None)
+        return s.to_numpy()
+
+    fn = agg.func
+    base = fn[: -len("_where")] if fn.endswith("_where") else fn
+    n = len(pdf)
+    out = np.full(n, None, dtype=object)
+    g_v = col_arr(agg.pair[0]) if agg.pair and agg.pair[0] else None
+    h_v = col_arr(agg.pair[2]) if agg.pair else None
+    g_c = h_c = None
+    if agg.cond_pair:
+        g_c = col_arr(agg.cond_pair[0]) if agg.cond_pair[0] else None
+        h_c = col_arr(agg.cond_pair[2])
+    v_plain = col_arr(agg.col) if agg.col else None
+    cond_plain = _bool_mask(pdf[agg.cond]) if agg.cond else None
+
+    for i in emit_pos:
+        idxs = np.asarray(_frame_indices(i, lo, seg_hi, inc_cur), dtype=np.int64)
+        keep = np.ones(len(idxs), dtype=bool)
+        if cond_plain is not None:
+            keep &= cond_plain[idxs]
+        if agg.cond_pair is not None:
+            if g_c is None:  # anchor-only condition: one flag per frame
+                hv = h_c[i]
+                if hv is None or hv != hv or not bool(hv):
+                    keep[:] = False
+            else:
+                keep &= _pair_eval(g_c[idxs], agg.cond_pair[1], h_c[i], cmp=True)
+        sel = idxs[keep]
+        if fn == "nth_value_where":
+            # positive k = k-th match from the OLDEST frame row,
+            # negative from the newest (same rule as _eval_nth_where)
+            k = int(agg.n)
+            if k > 0:
+                out[i] = v_plain[sel[k - 1]] if len(sel) >= k else None
+            elif k < 0:
+                out[i] = v_plain[sel[k]] if len(sel) >= -k else None
+            else:
+                out[i] = None
+            continue
+        if agg.pair is not None:
+            if g_v is None:
+                vals = np.array([h_v[i]] * len(sel), dtype=object)
+                vals = pd.to_numeric(pd.Series(list(vals)), errors="coerce").to_numpy(dtype="float64")
+            else:
+                vals = _pair_eval(g_v[sel], agg.pair[1], h_v[i], cmp=False)
+        elif v_plain is not None:
+            vals = pd.to_numeric(pd.Series(list(v_plain[sel])), errors="coerce").to_numpy(dtype="float64")
+        else:
+            vals = np.ones(len(sel), dtype="float64")
+        nnv = vals[~np.isnan(vals)]
+        if base == "count":
+            out[i] = int(len(nnv))
+        elif not len(nnv):
+            out[i] = None
+        elif base == "sum":
+            out[i] = float(nnv.sum())
+        elif base == "avg":
+            out[i] = float(nnv.mean())
+        elif base == "min":
+            out[i] = float(nnv.min())
+        elif base == "max":
+            out[i] = float(nnv.max())
+        else:
+            raise ValueError(f"anchor-pair unsupported for {fn}")
+    return out
+
+
+def _eval_minmax_obj(base: str, s: pd.Series, lo, seg_hi, inc_cur,
+                     emit_pos: np.ndarray,
+                     seg_mask: np.ndarray | None = None,
+                     cur_mask: np.ndarray | None = None) -> np.ndarray:
+    """Lexical min/max over object (string) frames — the rolling C
+    engine is numeric-only (function/test_udaf_function.yaml id=54/55:
+    max(string) compares lexically)."""
+    vals = s.to_numpy(dtype=object)
+    n = len(s)
+    out = np.full(n, None, dtype=object)
+    pick = min if base == "min" else max
+    for i in emit_pos:
+        idxs = _frame_indices(i, lo, seg_hi, inc_cur)
+        if seg_mask is not None:
+            idxs = [j for j in idxs
+                    if (seg_mask[j] if j != i else (cur_mask is None or cur_mask[j]))]
+        xs = [vals[j] for j in idxs if not _is_na(vals[j])]
+        out[i] = pick(xs) if xs else None
+    return out
+
+
 def _eval_positional(agg: Agg, pdf: pd.DataFrame, lo, seg_hi, inc_cur,
                       ok: np.ndarray | None = None,
                       exclude_current_time: bool = False,
@@ -1212,7 +1496,8 @@ def _group_index(pdf: pd.DataFrame, keys: list[str]):
 
 
 def make_kernel(spec: WindowSpec, aggs: list[Agg], out_cols: list[str], result_fields: list,
-                int_cols: frozenset = frozenset(), keys: list[str] | None = None):
+                int_cols: frozenset = frozenset(), keys: list[str] | None = None,
+                tz: str | None = None):
     """Build the per-group pandas kernel (shared by window_agg and the
     skew-salted variant in skew.py).
 
@@ -1221,6 +1506,11 @@ def make_kernel(spec: WindowSpec, aggs: list[Agg], out_cols: list[str], result_f
     from a WINDOW UNION secondary table). They differ under skew
     expansion, where context copies of primary rows have emit=0 but
     union=0.
+
+    ``tz``: the Spark session time zone. Arrow hands the kernel WALL
+    clocks in that zone; ms-epoch aggregation (the dialect sums
+    timestamps as epoch ms) must localize through it — wall-based sums
+    would drift by (n-1)×offset under any non-UTC session.
     """
     order_col = spec.order_by
     tiebreak = list(spec.tiebreak)
@@ -1325,7 +1615,10 @@ def make_kernel(spec: WindowSpec, aggs: list[Agg], out_cols: list[str], result_f
             seg_mask = where_mask
 
             fn = a.func
-            if a.split is not None:
+            if a.pair is not None or a.cond_pair is not None:
+                emit_pos = np.flatnonzero(emit)
+                res[a.name] = _eval_anchor_pair(a, pdf, lo, seg_hi, inc_cur, emit_pos)
+            elif a.split is not None:
                 emit_pos = np.flatnonzero(emit)
                 res[a.name] = _eval_fz_list(a, pdf, lo, seg_hi, inc_cur, emit_pos, seg_mask)
             elif fn == "nth_value_where":
@@ -1342,13 +1635,27 @@ def make_kernel(spec: WindowSpec, aggs: list[Agg], out_cols: list[str], result_f
                 base = fn[: -len("_where")] if fn.endswith("_where") else fn
                 col_s = pdf[a.col] if a.col is not None else None
                 is_dt = col_s is not None and pd.api.types.is_datetime64_any_dtype(col_s)
-                is_date = False
+                is_date = is_str = False
                 if col_s is not None and not is_dt and col_s.dtype == object:
                     nn0 = col_s.dropna()
                     is_date = len(nn0) > 0 and isinstance(nn0.iloc[0], _dtmod.date) \
                         and not isinstance(nn0.iloc[0], _dtmod.datetime)
+                    is_str = len(nn0) > 0 and isinstance(nn0.iloc[0], str)
+                if is_str and base in ("min", "max"):
+                    # lexical min/max over string frames (udaf id=54/55)
+                    emit_pos = np.flatnonzero(emit)
+                    res[a.name] = _eval_minmax_obj(
+                        base, col_s, lo, seg_hi, inc_cur, emit_pos,
+                        seg_mask, where_mask)
+                    continue
                 if is_dt:
-                    vals = _to_order_int64(col_s).astype("float64")
+                    if tz and tz != "UTC":
+                        loc = col_s.dt.tz_localize(
+                            tz, ambiguous="NaT", nonexistent="shift_forward")
+                        ns = loc.astype("int64").to_numpy()
+                        vals = (ns // 1_000_000).astype("float64")
+                    else:
+                        vals = _to_order_int64(col_s).astype("float64")
                     vals[col_s.isna().to_numpy()] = np.nan
                 elif is_date:
                     dt64 = pd.to_datetime(col_s, errors="coerce")
@@ -1361,15 +1668,23 @@ def make_kernel(spec: WindowSpec, aggs: list[Agg], out_cols: list[str], result_f
                 r = _eval_rolling(a, base, vals, lo, seg_hi, inc_cur, seg_mask, where_mask)
                 if (is_dt or is_date) and base in ("min", "max", "median", "sum", "avg"):
                     # dialect sums/avgs timestamps as epoch-ms values
-                    r = pd.to_datetime(pd.Series(r), unit="ms")
+                    if is_dt and tz and tz != "UTC":
+                        r = (pd.to_datetime(pd.Series(r), unit="ms", utc=True)
+                             .dt.tz_convert(tz).dt.tz_localize(None))
+                    else:
+                        r = pd.to_datetime(pd.Series(r), unit="ms")
                     if is_date:
                         r = pd.Series([None if v is pd.NaT else v.date() for v in r], dtype=object)
                 res[a.name] = r
             elif fn == "distinct_count":
-                v = pdf[a.col]
+                v = _fill_na_default(pdf[a.col])
                 if seg_mask is not None:
                     v = v.where(pd.Series(seg_mask, index=v.index))
                 res[a.name] = _eval_distinct(v, lo, seg_hi, inc_cur)
+            elif fn in _CATE or fn in _CATE_WHERE:
+                emit_pos = np.flatnonzero(emit)
+                res[a.name] = _eval_cate_vec(a, pdf, lo, seg_hi, inc_cur,
+                                             emit_pos, seg_mask)
             elif fn in _POSITIONAL:
                 res[a.name] = _eval_positional(a, pdf, lo, seg_hi, inc_cur,
                                                 sok, spec_b.exclude_current_time,
@@ -1656,5 +1971,12 @@ def _kernel_window_agg(
     result_fields, out_schema = result_schema(df, aggs)
     work = with_flags(df, union)
     kernel = make_kernel(spec, aggs, out_cols, result_fields, format_int_cols(df, aggs),
-                         keys=list(spec.partition_by))
+                         keys=list(spec.partition_by), tz=_session_tz(df))
     return run_kernel_partitioned(work, list(spec.partition_by), kernel, out_schema)
+
+
+def _session_tz(df: DataFrame) -> str:
+    try:
+        return df.sparkSession.conf.get("spark.sql.session.timeZone") or "UTC"
+    except Exception:  # noqa: BLE001 — detached plans in tests
+        return "UTC"

@@ -210,7 +210,8 @@ def _extract_over_calls(item: str, win_names: set[str], implicit: str | None = N
             wname = mo.group(1).lower()
             if is_agg:
                 ph = f"__wcall{len(calls)}_{abs(hash((canon, args_txt, wname))) % 10_000}__"
-                calls.append((canon, args_txt, wname, ph, f"{fname}({args_txt})over {mo.group(1)}"))
+                calls.append((canon, args_txt, wname, ph,
+                              f"{fname}({args_txt})over {mo.group(1)}", "explicit"))
                 out.append(f"`{ph}`")
             else:
                 # scalar shell over a window: bind bare aggs inside
@@ -219,7 +220,7 @@ def _extract_over_calls(item: str, win_names: set[str], implicit: str | None = N
             i = j + mo.end()
         elif implicit and is_agg:
             ph = f"__wcall{len(calls)}_{abs(hash((canon, args_txt, implicit))) % 10_000}__"
-            calls.append((canon, args_txt, implicit, ph, f"{fname}({args_txt})"))
+            calls.append((canon, args_txt, implicit, ph, f"{fname}({args_txt})", "implicit"))
             out.append(f"`{ph}`")
             i = j
         else:
@@ -278,10 +279,13 @@ def _strip_hash_comments(sql: str) -> str:
 
 
 def _rewrite_like_match(sql: str) -> str:
-    """``[i]like_match(str, pat[, esc])`` → native LIKE/ILIKE."""
+    """``[i]like_match(str, pat[, esc])`` → native LIKE/ILIKE. Calls
+    with a NON-literal escape (e.g. ``string(null)``) are left intact
+    for the session pandas UDF (udf_query null_escape)."""
     pat = re.compile(r"(?i)\b(i?)like_match\s*\(")
+    pos = 0
     while True:
-        m = pat.search(sql)
+        m = pat.search(sql, pos)
         if not m:
             return sql
         j = m.end()
@@ -293,6 +297,9 @@ def _rewrite_like_match(sql: str) -> str:
                 depth -= 1
             j += 1
         args = _split_top(sql[m.end(): j - 1])
+        if len(args) > 2 and not re.fullmatch(r"""\s*(['"]).*\1\s*""", args[2], re.S):
+            pos = j
+            continue
         op = "ILIKE" if m.group(1).lower() == "i" else "LIKE"
         # keep ESCAPE '' — the RLIKE pre-pass implements the dialect's
         # escaping-disabled semantics (wildcards live, backslash literal)
@@ -304,6 +311,7 @@ def _rewrite_like_match(sql: str) -> str:
         else:
             repl = f"(({args[0]}) {op} ({args[1]}){esc})"
         sql = sql[: m.start()] + repl + sql[j:]
+        pos = m.start() + len(repl)
 
 
 def _rewrite_call(sql: str, name: str, make, nargs: int | None = None) -> str:
@@ -373,6 +381,91 @@ def _rewrite_date_format(sql: str) -> str:
         return f"date_format({args[0]}, '{''.join(out)}')"
 
     return _rewrite_call(sql, "date_format", go)
+
+
+_ARRAY_ELEM_TYPES = {
+    "int16": "SMALLINT", "smallint": "SMALLINT", "i16": "SMALLINT",
+    "int32": "INT", "int": "INT", "i32": "INT",
+    "int64": "BIGINT", "bigint": "BIGINT", "i64": "BIGINT",
+    "float": "FLOAT", "double": "DOUBLE", "string": "STRING",
+    "varchar": "STRING", "bool": "BOOLEAN", "boolean": "BOOLEAN",
+    "timestamp": "TIMESTAMP", "date": "DATE",
+}
+
+
+def _rewrite_array_literals(sql: str) -> str:
+    """Dialect array literals → Spark: ``ARRAY<T>[a, b]`` →
+    ``CAST(array(a, b) AS ARRAY<T'>)``; bare ``[a, b]`` in literal
+    position (not a subscript) → ``array(a, b)``
+    (hybridse array_def.cc; query/udf_query.yaml array cases)."""
+
+    def typed(m):
+        t = _ARRAY_ELEM_TYPES.get(m.group(1).lower())
+        return t
+
+    # typed form first: ARRAY<T>[...]
+    pat = re.compile(r"(?i)\bARRAY\s*<\s*(\w+)\s*>\s*\[")
+    while True:
+        m = pat.search(sql)
+        if not m:
+            break
+        t = typed(m)
+        j = m.end()
+        depth = 1
+        while j < len(sql) and depth:
+            if sql[j] == "[":
+                depth += 1
+            elif sql[j] == "]":
+                depth -= 1
+            j += 1
+        elems = sql[m.end(): j - 1]
+        inner = f"array({elems})" if elems.strip() else "array()"
+        repl = f"CAST({inner} AS ARRAY<{t}>)" if t else inner
+        sql = sql[: m.start()] + repl + sql[j:]
+
+    # bare [...] in literal position: previous significant char is not
+    # an identifier/closing bracket (those are subscripts)
+    out = []
+    i = 0
+    n = len(sql)
+    in_str = None
+    while i < n:
+        ch = sql[i]
+        if in_str:
+            out.append(ch)
+            if ch == in_str:
+                in_str = None
+            i += 1
+            continue
+        if ch in "'\"":
+            in_str = ch
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "[":
+            k = len(out) - 1
+            while k >= 0 and out[k] in " \t\n":
+                k -= 1
+            prev = out[k] if k >= 0 else ""
+            if prev and (prev.isalnum() or prev in "_)]`"):
+                out.append(ch)  # subscript
+                i += 1
+                continue
+            j = i + 1
+            depth = 1
+            while j < n and depth:
+                if sql[j] == "[":
+                    depth += 1
+                elif sql[j] == "]":
+                    depth -= 1
+                j += 1
+            elems = sql[i + 1: j - 1]
+            out.append(f"array({elems})" if elems.strip() else "array()")
+            i = j
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
 
 
 _NUMERIC_TYPEOF = "('tinyint','smallint','int','bigint','float','double')"
@@ -690,6 +783,84 @@ def _rewrite_datefn_int(sql: str, int_cols: set[str]) -> str:
                           lambda t: f"timestamp_millis(CAST({t} AS BIGINT))")
 
 
+_EXPR_KEYWORDS = {
+    "case", "when", "then", "else", "end", "and", "or", "not", "is",
+    "null", "true", "false", "in", "like", "div", "distinct", "between",
+    "as", "interval", "int", "bigint", "smallint", "tinyint", "double",
+    "float", "string", "boolean", "bool", "timestamp", "date", "decimal",
+    "varchar",
+}
+
+_MIRROR_OP = {"<": ">", ">": "<", "<=": ">=", ">=": "<=", "-": "rsub", "/": "rdiv"}
+_CANON_OP = {"<>": "!=", "==": "="}
+
+
+def _split_anchor_pair(expr: str, phs: list[str]):
+    """Split an expression mixing frame columns and anchor placeholders
+    into ``(frame_part|None, op|None, anchor_part)``.
+
+    Returns (None, None, expr) when the expression references no frame
+    columns outside the placeholders (anchor-only condition), a split
+    at a top-level comparison/arithmetic operator when exactly one side
+    holds all placeholders (and no frame columns), else None."""
+
+    def strip_strings(s: str) -> str:
+        return re.sub(r"'[^']*'|\"[^\"]*\"",
+                      lambda m: " " * len(m.group(0)), s)
+
+    def has_ph(s: str) -> bool:
+        return any(f"`{p}`" in s for p in phs)
+
+    def has_col(s: str) -> bool:
+        t = strip_strings(s)
+        t = re.sub(r"`__\w+__`", " ", t)
+        for m in re.finditer(r"[A-Za-z_][\w\.]*", t):
+            j = m.end()
+            while j < len(t) and t[j] == " ":
+                j += 1
+            if j < len(t) and t[j] == "(":
+                continue  # function name
+            if m.group(0).lower() in _EXPR_KEYWORDS:
+                continue
+            return True
+        return False
+
+    if not has_col(expr):
+        return None, None, expr
+    s = strip_strings(expr)
+    cands = {"cmp": [], "add": [], "mul": []}
+    depth = 0
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            two = s[i:i + 2]
+            if two in ("<=", ">=", "!=", "<>", "=="):
+                cands["cmp"].append((i, two))
+                i += 2
+                continue
+            if ch in "<>=":
+                cands["cmp"].append((i, ch))
+            elif ch in "+-":
+                cands["add"].append((i, ch))
+            elif ch in "*/":
+                cands["mul"].append((i, ch))
+        i += 1
+    for kind in ("cmp", "add", "mul"):
+        for pos, op in cands[kind]:
+            left, right = expr[:pos], expr[pos + len(op):]
+            cop = _CANON_OP.get(op, op)
+            if has_ph(right) and not has_ph(left) and not has_col(right):
+                return left.strip(), cop, right.strip()
+            if has_ph(left) and not has_ph(right) and not has_col(left):
+                return right.strip(), _MIRROR_OP.get(cop, cop), left.strip()
+    return None
+
+
 def _split_and_clauses(cond_txt: str) -> list[str]:
     """Split a join condition on AND, keeping BETWEEN x AND y whole."""
     parts = re.split(r"(?i)\bAND\b", cond_txt)
@@ -725,22 +896,38 @@ def _rewrite_like_escape(sql: str) -> str:
 
     from openmldb_spark.functions.scalar import like_regex as trans
 
-    def repl(m):
-        neg, op = m.group(2), m.group(3).upper()
-        pat, esc = _sql_unescape(m.group(4)), _sql_unescape(m.group(5))
-        if esc == "\\":
-            return m.group(0)  # Spark's native default-escape semantics
+    def _to_rlike(lhs, neg, op, pat, esc):
         rx = trans(pat, esc)
         rx = "(?!x)x" if rx is None else rx  # never-match
         if op == "ILIKE":
             rx = "(?i)" + rx
         lit = rx.replace("\\", "\\\\").replace("'", "\\'")
-        expr = f"({m.group(1)} RLIKE '^{lit}$')"
+        expr = f"({lhs} RLIKE '^{lit}$')"
         return f"(NOT {expr})" if neg else expr
 
-    return re.sub(
+    def repl(m):
+        neg, op = m.group(2), m.group(3).upper()
+        pat, esc = _sql_unescape(m.group(4)), _sql_unescape(m.group(5))
+        if esc == "\\" and not re.search(r"\\[^%_\\]", pat):
+            return m.group(0)  # Spark's native default-escape semantics
+        return _to_rlike(m.group(1), neg, op, pat, esc)
+
+    sql = re.sub(
         r"(?i)([\w.`]+)\s+(NOT\s+)?(I?LIKE)\s+['\"]((?:[^'\"\\]|\\.)*)['\"]\s+ESCAPE\s+['\"]((?:[^'\"\\]|\\.)*)['\"]",
         repl, sql)
+
+    def repl_noesc(m):
+        # default backslash escape, but the pattern escapes an ordinary
+        # character ('M_\ke') — Spark rejects, the dialect allows
+        neg, op = m.group(2), m.group(3).upper()
+        pat = _sql_unescape(m.group(4))
+        if not re.search(r"\\[^%_\\]", pat):
+            return m.group(0)
+        return _to_rlike(m.group(1), neg, op, pat, "\\")
+
+    return re.sub(
+        r"(?i)([\w.`]+)\s+(NOT\s+)?(I?LIKE)\s+['\"]((?:[^'\"\\]|\\.)*)['\"](?!\s*ESCAPE)",
+        repl_noesc, sql)
 
 
 def _rewrite_cmp_coercions(sql: str, df: DataFrame) -> str:
@@ -948,6 +1135,9 @@ class SqlEngine:
             from openmldb_spark.functions.scalar import register_all
 
             register_all(spark)
+            # duplicate map-literal keys: keep-one instead of error (the
+            # dialect's first-match rule is realized by reversing pairs)
+            spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
             SqlEngine._REGISTERED_SESSIONS.add(key)
 
     def register(self, name: str, df: DataFrame, index_ts: str | None = None) -> None:
@@ -966,6 +1156,100 @@ class SqlEngine:
         if n not in self.tables:
             raise ValueError(f"unknown table {name!r}")
         return self.tables[n]
+
+    # --- DDL (reference CreateTablePlan.scala / InsertPlan.scala) -----
+
+    _DDL_TYPES = {
+        "bool": "boolean", "int16": "smallint", "i16": "smallint",
+        "int32": "int", "i32": "int", "int64": "bigint", "i64": "bigint",
+        "varchar": "string",
+    }
+
+    def _ddl_create(self, q: str) -> DataFrame:
+        """``CREATE TABLE [IF NOT EXISTS] t (cols..., index(key=..,
+        ts=..))`` or ``CREATE TABLE t AS SELECT ...`` — registers an
+        engine table; INDEX ts= feeds the LAST JOIN storage-order rule
+        (reference nodes/CreateTablePlan.scala)."""
+        m = re.match(r"(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*(.*)$", q)
+        name, rest = m.group(1), m.group(2).strip()
+        mas = re.match(r"(?is)^AS\s+(SELECT\b.*)$", rest)
+        if mas:
+            self.register(name, self.sql(mas.group(1)))
+            return self._table(name)
+        if not rest.startswith("("):
+            raise ValueError(f"unsupported CREATE TABLE form: {q!r}")
+        j = 1
+        depth = 1
+        while j < len(rest) and depth:
+            if rest[j] == "(":
+                depth += 1
+            elif rest[j] == ")":
+                depth -= 1
+            j += 1
+        fields = []
+        index_ts = None
+        for item in _split_top(rest[1:j - 1]):
+            item = item.strip()
+            mi = re.match(r"(?is)^index\s*\((.*)\)$", item)
+            if mi:
+                mt = re.search(r"(?i)\bts\s*=\s*(\w+)", mi.group(1))
+                if mt:
+                    index_ts = mt.group(1)
+                continue
+            mc = re.match(r"(?s)^(\w+)\s+(.+?)(?:\s+(?:NOT\s+NULL|DEFAULT\s+.*))?$",
+                          item, re.I)
+            cname, ctype = mc.group(1), mc.group(2).strip().lower()
+            ctype = self._DDL_TYPES.get(ctype, ctype)
+            fields.append(f"{cname} {ctype}")
+        schema = T._parse_datatype_string(", ".join(fields))
+        self.register(name, self.spark.createDataFrame([], schema=schema),
+                      index_ts=index_ts)
+        return self._table(name)
+
+    def _ddl_insert(self, q: str) -> DataFrame:
+        """``INSERT INTO t [(cols)] VALUES (...), ... | SELECT ...`` —
+        appends to a registered engine table (reference InsertPlan)."""
+        m = re.match(r"(?is)^INSERT\s+INTO\s+(\w+)\s*(\(([^)]*)\))?\s*(.*)$", q)
+        name, cols_txt, body = m.group(1), m.group(3), m.group(4).strip()
+        target = self._table(name)
+        names = [c.strip() for c in cols_txt.split(",")] if cols_txt \
+            else list(target.columns)
+        if re.match(r"(?is)^SELECT\b", body):
+            incoming = self.sql(body).toDF(*names)
+        else:
+            mv = re.match(r"(?is)^VALUES\s*(.*)$", body)
+            tuples = []
+            t = mv.group(1).strip()
+            i = 0
+            while i < len(t):
+                if t[i] == "(":
+                    j = i + 1
+                    depth = 1
+                    while j < len(t) and depth:
+                        if t[j] == "(":
+                            depth += 1
+                        elif t[j] == ")":
+                            depth -= 1
+                        j += 1
+                    tuples.append(t[i + 1: j - 1])
+                    i = j
+                else:
+                    i += 1
+            incoming = None
+            for tup in tuples:
+                row = self.sql("select " + tup).toDF(*names)
+                incoming = row if incoming is None else incoming.unionByName(row)
+        by_name = {f.name: f for f in target.schema.fields}
+        incoming = incoming.select(*[
+            incoming[c].cast(by_name[c].dataType).alias(c) for c in names
+        ])
+        for f in target.schema.fields:  # missing columns → NULL
+            if f.name not in names:
+                incoming = incoming.withColumn(
+                    f.name, F.lit(None).cast(f.dataType))
+        updated = target.unionByName(incoming.select(*target.columns))
+        self.tables[name.lower()] = updated
+        return updated
 
     _KEYWORDS = {"on", "order", "last", "where", "group", "window", "limit",
                  "having", "union", "join", "left", "inner"}
@@ -1104,6 +1388,10 @@ class SqlEngine:
         # '!expr' prefix negation (dialect) → ANSI NOT (keep '!=')
         q = text.replace("`", "").strip().rstrip(";").strip()
         q = _strip_hash_comments(q)
+        if re.match(r"(?is)^CREATE\s+TABLE\b", q):
+            return self._ddl_create(q)
+        if re.match(r"(?is)^INSERT\s+INTO\b", q):
+            return self._ddl_insert(q)
         # a fully parenthesized statement is its inner statement
         while q.startswith("(") and q.endswith(")"):
             depth = 0
@@ -1121,9 +1409,16 @@ class SqlEngine:
                 break
             q = inner
         q = re.sub(r"!(?!=)\s*", "NOT ", q)
+        # corpus syntax quirk: trailing comma at the end of a select
+        # list (before FROM or end of statement)
+        q = _map_outside_strings(q, lambda s: re.sub(r"(?is),\s*(FROM\b)", r" \1", s))
+        q = re.sub(r"(?s),\s*\Z", "", q)
         # dialect spellings Spark lacks
         q = re.sub(r"(?i)\bMOD\b(?!\s*\()", "%", q)
         q = re.sub(r"(?i)\bAS\s+BOOL\b", "AS BOOLEAN", q)
+        q = re.sub(r"(?i)\bAS\s+INT64\b", "AS BIGINT", q)
+        q = re.sub(r"(?i)\bAS\s+INT32\b", "AS INT", q)
+        q = re.sub(r"(?i)\bAS\s+INT16\b", "AS SMALLINT", q)
         q = re.sub(r"(?i)\bbool\s*\(", "boolean(", q)
         q = re.sub(r"(?i)\bint16\s*\(", "smallint(", q)
         q = re.sub(r"(?i)\bint32\s*\(", "int(", q)
@@ -1139,6 +1434,24 @@ class SqlEngine:
         q = _rewrite_call(q, "strcmp", lambda a: (
             f"IF(({a[0]}) IS NULL OR ({a[1]}) IS NULL, CAST(NULL AS INT), "
             f"IF(({a[0]}) < ({a[1]}), -1, IF(({a[0]}) > ({a[1]}), 1, 0)))"
+            if len(a) == 2 else None))
+        q = _rewrite_array_literals(q)
+        # dialect map literals resolve duplicate keys to the FIRST
+        # match; Spark's dedup policy keeps the last — reverse the pair
+        # order (SqlEngine sets mapKeyDedupPolicy=LAST_WIN)
+        q = _rewrite_call(q, "map", lambda a: (
+            "map(" + ", ".join(
+                x for k, v in reversed(list(zip(a[0::2], a[1::2])))
+                for x in (k, v)) + ")"
+            if len(a) >= 4 and len(a) % 2 == 0 else None))
+        q = _rewrite_call(q, "split_array",
+                          lambda a: f"split({a[0]}, {a[1]})" if len(a) == 2 else None)
+        # dialect array_contains: no-match over a NULL-holding array is
+        # false, not NULL, and searching FOR null finds null elements
+        # (udf_query.yaml array_contains c2/c10)
+        q = _rewrite_call(q, "array_contains", lambda a: (
+            f"CASE WHEN ({a[1]}) IS NULL THEN EXISTS(({a[0]}), __e -> __e IS NULL) "
+            f"ELSE COALESCE(array_contains({a[0]}, {a[1]}), false) END"
             if len(a) == 2 else None))
         q = _rewrite_date_format(q)
         # str-casts first: _poly_timestamp synthesizes CAST(.. AS STRING)
@@ -1420,9 +1733,9 @@ class SqlEngine:
                     plain_items.append(expr)
                 continue
             single = len(calls) == 1 and rewritten.strip() == f"`{calls[0][3]}`"
-            for fname, args_txt, wname, ph, default_name in calls:
+            for fname, args_txt, wname, ph, default_name, _bound in calls:
                 out_name = (alias or default_name) if single else ph
-                agg, lvl = self._make_agg(fname, _split_top(args_txt), out_name)
+                agg, lvl = self._make_agg(fname, _split_top(args_txt), out_name, wname=wname)
                 self._add_agg(lvl, wname, agg)
             if single:
                 plain_items.append(f"`{alias or calls[0][4]}`")
@@ -1565,27 +1878,43 @@ class SqlEngine:
                     return item[: i - 3].strip(), tail
         return item.strip(), None
 
-    def _make_agg(self, fname: str, args: list[str], alias: str) -> tuple[Agg, int]:
+    def _make_agg(self, fname: str, args: list[str], alias: str,
+                  wname: str | None = None) -> tuple[Agg, int]:
         """Build an Agg; returns (agg, stage level). Arguments that
         contain window calls register those calls at earlier stages and
-        push this aggregate one stage later."""
+        push this aggregate one stage later. ``wname`` is the window
+        the aggregate is bound to: BARE window calls nested inside its
+        arguments bind to the same window with ANCHOR semantics (the
+        nested call evaluates at the output row, plain column refs
+        iterate frame rows — reference nested-UDAF rule)."""
         col = cond = cate = None
         nlag = 1
         param = 0.5
         split = None
         sep = ","
         lvl = 0
+        pair = cond_pair = None
 
-        def EC(a: str) -> str:
-            nonlocal lvl
-            c, l = self._expr_col(a)
+        def EC(a: str) -> str | None:
+            nonlocal lvl, pair, cond_pair
+            c, l, p = self._expr_col(a, anchor_window=wname)
             lvl = max(lvl, l)
+            if p is not None:
+                if p[0] == "cond":
+                    # CASE WHEN anchor-cond THEN val — cond + value col
+                    cond_pair = p[1:]
+                    return c
+                pair = p[1:]
+                return None
             return c
 
-        def BOOL(a: str) -> str:
-            nonlocal lvl
-            c, l = self._expr_col(a, bool_cast=True)
+        def BOOL(a: str) -> str | None:
+            nonlocal lvl, cond_pair
+            c, l, p = self._expr_col(a, bool_cast=True, anchor_window=wname)
             lvl = max(lvl, l)
+            if p is not None:
+                cond_pair = p[1:]
+                return None
             return c
 
         if fname == "count" and args == ["*"]:
@@ -1631,26 +1960,71 @@ class SqlEngine:
         else:
             col = EC(args[0]) if args and args[0] != "*" else None
         return Agg(fname, col, alias, cond=cond, cate=cate, n=nlag, param=param,
-                   split=split, sep=sep), lvl
+                   split=split, sep=sep, pair=pair, cond_pair=cond_pair), lvl
 
-    def _expr_col(self, arg: str, bool_cast: bool = False) -> tuple[str, int]:
-        """Aggregate argument → (column name, stage level). Plain
-        columns pass through at level 0; expressions become temp
+    def _expr_col(self, arg: str, bool_cast: bool = False,
+                  anchor_window: str | None = None) -> tuple[str | None, int, tuple | None]:
+        """Aggregate argument → (column name, stage level, anchor pair).
+
+        Plain columns pass through at level 0; expressions become temp
         columns; nested window calls inside the expression register at
-        their own stage and lift the temp column one stage later."""
+        their own stage and lift the temp column one stage later.
+
+        With ``anchor_window``, BARE aggregate calls in the expression
+        bind to that window and the expression is split into a
+        (frame-part, op, anchor-part) pair for the kernel — returned as
+        the third element (name is then None)."""
         a = arg.strip()
         if not bool_cast and re.fullmatch(r"[\w\.]+", a):
-            return self._strip_tbl(a), 0
-        rewritten, calls = _extract_over_calls(a, set(self._win_defs))
+            return self._strip_tbl(a), 0, None
+        rewritten, calls = _extract_over_calls(a, set(self._win_defs),
+                                               implicit=anchor_window)
         lvl = 0
-        for fname, args_txt, wname, ph, _d in calls:
-            agg, alvl = self._make_agg(fname, _split_top(args_txt), ph)
+        anchor_phs = []
+        aw = (anchor_window or "").lower()
+        for fname, args_txt, wname, ph, _d, bound in calls:
+            agg, alvl = self._make_agg(fname, _split_top(args_txt), ph, wname=wname)
             self._add_agg(alvl, wname, agg)
             lvl = max(lvl, alvl + 1)
-        name = f"__tmp{self._tmp_n}__"
-        self._tmp_n += 1
-        expr = self._rewrite_refs(rewritten)
-        if bool_cast:
-            expr = f"CAST(({expr}) AS BOOLEAN)"
-        self._stage(lvl)["tmp"].append((name, expr))
-        return name, lvl
+            # a nested call over the SAME window — bare or with an
+            # explicit OVER — evaluates at the anchor (udaf_query id=5)
+            if bound == "implicit" or (aw and wname.lower() == aw):
+                anchor_phs.append(ph)
+
+        def temp(expr_txt: str, cast_bool: bool = False) -> str:
+            name = f"__tmp{self._tmp_n}__"
+            self._tmp_n += 1
+            e = self._rewrite_refs(expr_txt)
+            if cast_bool:
+                e = f"CAST(({e}) AS BOOLEAN)"
+            self._stage(lvl)["tmp"].append((name, e))
+            return name
+
+        if anchor_phs:
+            def name_side(txt: str) -> str:
+                m = re.fullmatch(r"`?([\w\.]+)`?", txt.strip())
+                return self._strip_tbl(m.group(1)) if m else temp(txt)
+
+            def make_pair(split, cast_cond: bool):
+                g_txt, op, h_txt = split
+                h_name = temp(h_txt, cast_bool=cast_cond and op is None)
+                g_name = name_side(g_txt) if g_txt is not None else None
+                return g_name, op, h_name
+
+            # CASE WHEN <anchor-cond> THEN <frame-val> ELSE NULL END —
+            # a conditional aggregate argument (udaf_query.yaml id=5)
+            mcase = re.match(
+                r"(?is)^\s*case\s+when\s+(.+?)\s+then\s+(.+?)\s+else\s+null\s+end\s*$",
+                rewritten.strip())
+            if mcase and not any(f"`{p}`" in mcase.group(2) for p in anchor_phs):
+                csplit = _split_anchor_pair(mcase.group(1), anchor_phs)
+                if csplit is not None:
+                    then_name = name_side(mcase.group(2))
+                    return then_name, lvl, ("cond",) + make_pair(csplit, True)
+            split = _split_anchor_pair(rewritten, anchor_phs)
+            if split is None:
+                raise ValueError(f"unsupported nested-aggregate shape: {arg!r}")
+            kind = "cond" if bool_cast else "value"
+            return None, lvl, (kind,) + make_pair(split, bool_cast)
+
+        return temp(rewritten, cast_bool=bool_cast), lvl, None

@@ -70,6 +70,22 @@ def agg_value(fn, vals, **kw):
     if fn == "count":
         return len(xs)
     if fn == "distinct_count":
+        # reference udaf: NULL inserts the type's default value into
+        # the set (test_udaf_function.yaml id=5/6)
+        nulls = len(xs) != len(list(vals))
+        if nulls and not xs:
+            return 1
+        if nulls:
+            x0 = xs[0]
+            if isinstance(x0, bool):
+                d = False
+            elif isinstance(x0, (int, np.integer)):
+                d = 0
+            elif isinstance(x0, (float, np.floating)):
+                d = 0.0
+            else:
+                d = ""
+            xs = list(xs) + [d]
         return len(set(xs))
     if not xs:
         return None

@@ -49,11 +49,31 @@ _TYPES = {
 def parse_schema(cols) -> T.StructType:
     """Accepts ['name type', ...] or 'name:type, name:type' string."""
     if isinstance(cols, str):
-        cols = [c.strip().replace(":", " ") for c in cols.split(",") if c.strip()]
+        # split on commas outside <...> (map<int,string> stays whole)
+        parts, depth, buf = [], 0, []
+        for ch in cols:
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append("".join(buf))
+                buf = []
+            else:
+                buf.append(ch)
+        if "".join(buf).strip():
+            parts.append("".join(buf))
+        cols = [c.strip().replace(":", " ") for c in parts if c.strip()]
     fields = []
     for c in cols:
         name, typ = c.strip().replace(":", " ").rsplit(" ", 1)
-        fields.append(T.StructField(name.strip(), _TYPES[typ.strip().lower()], True))
+        t = typ.strip().lower()
+        dt = _TYPES.get(t)
+        if dt is None:
+            # composite types (map<int,string>, array<...>) via Spark's
+            # own DDL parser
+            dt = T._parse_datatype_string(t)
+        fields.append(T.StructField(name.strip(), dt, True))
     return T.StructType(fields)
 
 
@@ -145,6 +165,25 @@ def build_df(spark, inp: dict):
             for line in inp["data"].strip().splitlines()
             if line.strip()
         ]
+    if raw is None and inp.get("inserts"):
+        # INSERT-statement inputs (udf_query id=18): evaluate each
+        # VALUES tuple through the engine (dialect fns like
+        # timestamp(ms) / map(...) resolve), align to schema by position
+        import re as _re
+
+        from openmldb_spark.sql import SqlEngine
+
+        eng = SqlEngine(spark)
+        names = [f.name for f in schema.fields]
+        out = None
+        for ins in inp["inserts"]:
+            m = _re.search(r"(?is)\bvalues\s*\((.*)\)\s*;?\s*$", ins.strip())
+            sel = eng.sql("select " + m.group(1)).toDF(*names)
+            sel = sel.select(*[
+                sel[f.name].cast(f.dataType).alias(f.name) for f in schema.fields
+            ])
+            out = sel if out is None else out.unionByName(sel)
+        return out
     def conv_in(v, dt):
         v = _conv(v, dt, for_input=True)
         if isinstance(v, str):

@@ -177,6 +177,36 @@ def test_multimodal_stub_pipeline(spark):
     assert frames["frame_ts_ms"].tolist() == [0, 1000, 2000, 3000]
 
 
+def test_multimodal_decode_real_or_stub():
+    """_decode_one prefers a real PIL decode when the library is
+    present and the payload is a valid image; otherwise (no PIL, or
+    undecodable bytes) it falls back to the deterministic stub — the
+    test passes in both environments."""
+    from openmldb_spark.operators.multimodal import (
+        _decode_one,
+        _pil_decode,
+        _stub_decode,
+    )
+
+    # garbage bytes: never a decodable image → always the stub
+    garbage = b"not-an-image"
+    assert _pil_decode(garbage, 8) is None
+    assert list(_decode_one(garbage, 8)) == list(_stub_decode(garbage, 8))
+
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        return  # stub-only environment: fallback path verified above
+    buf = io.BytesIO()
+    Image.new("L", (4, 4), color=128).save(buf, format="PNG")
+    png = buf.getvalue()
+    real = _decode_one(png, 8)
+    assert len(real) == 8
+    assert all(abs(v - 128 / 255.0) < 1e-6 for v in real)
+
+
 def test_minhash_degenerate_bucket_capped(spark):
     """A viral bucket (many identical docs) must not go quadratic: the
     bucket cap drops it from the band join while distinct near-dups in

@@ -1,0 +1,35 @@
+"""DDL surface: CREATE TABLE / INSERT INTO through the SQL front-end
+(reference nodes/CreateTablePlan.scala, InsertPlan.scala) — create,
+insert, and query an engine table via SQL only."""
+
+from __future__ import annotations
+
+
+def _engine(spark):
+    from openmldb_spark.sql import SqlEngine
+
+    return SqlEngine(spark)
+
+
+def test_create_insert_query(spark):
+    eng = _engine(spark)
+    eng.sql("CREATE TABLE ddl_t (id int, name string, ts timestamp, "
+            "v double, index(key=id, ts=ts))")
+    assert eng.index_ts["ddl_t"] == "ts"
+    eng.sql("INSERT INTO ddl_t VALUES (1, 'a', timestamp(1000), 1.5), "
+            "(2, 'b', timestamp(2000), 2.5)")
+    eng.sql("INSERT INTO ddl_t (id, name) VALUES (3, 'c')")
+    out = eng.sql("select id, name, v from ddl_t").orderBy("id").collect()
+    assert [(r.id, r.name, r.v) for r in out] == [
+        (1, "a", 1.5), (2, "b", 2.5), (3, "c", None)]
+
+
+def test_create_as_select_and_insert_select(spark):
+    eng = _engine(spark)
+    eng.sql("CREATE TABLE src (id int, v int)")
+    eng.sql("INSERT INTO src VALUES (1, 10), (2, 20)")
+    eng.sql("CREATE TABLE dst AS SELECT id, v * 2 as v2 FROM src")
+    eng.sql("INSERT INTO dst SELECT id + 10 as id, v as v2 FROM src")
+    rows = eng.sql("select id, v2 from dst").orderBy("id").collect()
+    assert [(r.id, r.v2) for r in rows] == [
+        (1, 20), (2, 40), (11, 10), (12, 20)]

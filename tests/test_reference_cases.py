@@ -32,6 +32,7 @@ FILES = (
         "/root/reference/cases/function/function/test_like_match.yaml",
         "/root/reference/cases/function/function/test_udf_function.yaml",
         "/root/reference/cases/function/function/test_calculate.yaml",
+        "/root/reference/cases/function/function/test_udaf_function.yaml",
         "/root/reference/cases/function/function/test_date.yaml",
         "/root/reference/cases/function/function/test_string.yaml",
         "/root/reference/cases/function/select/test_select_sample.yaml",
@@ -62,12 +63,6 @@ KNOWN_DIVERGENCES = {
         "its own TODO-tagged id=26 say NULL — we emit NULL consistently"
     ),
     ("last_join_where.yaml", "1"): "same right table joined twice (prefix collision)",
-    ("udaf_query.yaml", "5"): (
-        "window call nested in an aggregate argument: the reference "
-        "evaluates first_value at the OUTPUT row's buffer while column "
-        "refs iterate frame rows (anchor-dependent mixed evaluation); "
-        "the engine evaluates both per frame row"
-    ),
     ("operator_query.yaml", "6"): "parenthesized tuple comparison syntax",
     ("test_udf_function.yaml", "4"): "hash64/farm_fingerprint: reference uses farmhash, engine xxhash64 (values differ by design)",
     ("test_udf_function.yaml", "5"): "farmhash values + trailing comma in select list (corpus syntax quirk)",
@@ -80,25 +75,12 @@ KNOWN_DIVERGENCES = {
     ("union_query.yml", "0"): "unordered LAST JOIN on index-less union subquery (storage-order defined)",
     ("union_query.yml", "1"): "unordered LAST JOIN on index-less union subquery (storage-order defined)",
     ("union_query.yml", "5"): "bare column through WINDOW UNION subquery",
-    ("udf_query.yaml", "5"): "hour()/day() computed in the reference's local tz (Asia/Shanghai), engine pins UTC",
-    ("udf_query.yaml", "like_udf_const_null_string"): "'NULL string' typed-null literal syntax",
-    ("udf_query.yaml", "ilike_udf_const_null_string"): "'NULL string' typed-null literal syntax",
-    ("udf_query.yaml", "array_contains"): "[...] array literal syntax",
-    ("udf_query.yaml", "array_split"): "[...] array literal syntax",
-    ("udf_query.yaml", "13"): "array literal / lambda syntax",
-    ("udf_query.yaml", "14"): "array literal / lambda syntax",
-    ("udf_query.yaml", "16"): "array literal / lambda syntax",
-    ("udf_query.yaml", "18"): "array literal / lambda syntax",
 }
 # parametrized families excluded by prefix (dialect NULL-semantics of
 # IN-lists with NULL members differs from Spark's three-valued logic)
 KNOWN_PREFIXES = {
     ("simple_query.yaml", "in_predicate"): "IN/NOT IN NULL-member semantics",
     ("test_like_match.yaml", "28["): "multi-character ESCAPE string: reference rejects the match, engine treats the escape as inert",
-    ("test_predicate.yaml", "3["): (
-        "timestamp vs string comparison: the reference renders/parses "
-        "timestamps in its build tz (Asia/Shanghai), engine pins UTC"
-    ),
 }
 
 
