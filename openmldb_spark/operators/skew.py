@@ -62,6 +62,8 @@ def window_agg_skewed(
     quantiles: int = 4,
     hot_threshold: int = 100_000,
     union: list[DataFrame] | None = None,
+    row_key: list[str] | None = None,
+    native_when_cold: bool = True,
 ) -> DataFrame:
     """``window_agg(impl='kernel')`` with time-quantile salting of hot
     keys; output identical, physical partitioning finer for hot keys.
@@ -71,7 +73,12 @@ def window_agg_skewed(
     × hot rows), while ``long_window_agg``'s bucketed carry is O(rows)
     and inherently skew-free (VERDICT r2 #5). Mixed lists stay salted —
     the expansion is needed for the non-decomposable aggregates
-    regardless, so a split would only add an extra full pass."""
+    regardless, so a split would only add an extra full pass.
+
+    ``row_key`` (unique row identity): payload columns the window never
+    reads stay OUT of the Arrow↔Python pipe — the salted kernel runs on
+    a projected frame and features join back on the key (see
+    window_agg)."""
     keys = list(spec.partition_by)
 
     if spec.preceding is None and not union:
@@ -80,6 +87,39 @@ def window_agg_skewed(
 
         if long_window_eligible(spec, aggs, union, df):
             return long_window_agg(df, spec, aggs)
+
+    if native_when_cold and not union:
+        from openmldb_spark.operators.window import (
+            _native_expressible, window_agg)
+
+        if _native_expressible(spec, aggs, union, df):
+            # planner-statistics probe (the analogue of the reference's
+            # skew-config decision): one cheap key-count scan — when NO
+            # key reaches hot_threshold, salting buys nothing and the
+            # pure-JVM native window plan (zero Python, whole-stage
+            # codegen) is strictly better
+            n_hot = (df.groupBy(*keys)
+                     .agg(F.count(F.lit(1)).alias("__n__"))
+                     .filter(F.col("__n__") >= hot_threshold)
+                     .limit(1).count())
+            if n_hot == 0:
+                return window_agg(df, spec, aggs, impl="native", row_key=row_key)
+
+    if row_key:
+        # salted-kernel path: payload columns bypass the Arrow↔Python
+        # pipe (see window_agg)
+        from openmldb_spark.operators.window import kernel_columns
+
+        need = kernel_columns(spec, aggs) | set(row_key)
+        payload = [c for c in df.columns if c not in need]
+        if payload:
+            slim = df.select(*[c for c in df.columns if c in need])
+            feats = window_agg_skewed(slim, spec, aggs, quantiles,
+                                      hot_threshold, union,
+                                      native_when_cold=False)
+            feats = feats.select(*row_key, *[a.name for a in aggs])
+            out = df.join(feats, on=list(row_key), how="inner")
+            return out.select(*df.columns, *[a.name for a in aggs])
 
     work = with_flags(df, union).withColumn("__oms__", _order_ms_expr(df, spec.order_by))
 

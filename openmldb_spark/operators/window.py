@@ -211,17 +211,38 @@ def _result_type(agg: Agg, in_type: T.DataType) -> T.DataType:
 # ---------------------------------------------------------------------------
 
 
+def kernel_columns(spec: WindowSpec, aggs: list[Agg]) -> set[str]:
+    """Every input column the window evaluation actually reads."""
+    need = set(spec.partition_by) | {spec.order_by} | set(spec.tiebreak)
+    for a in aggs:
+        for c in (a.col, a.cond, a.cate):
+            if c:
+                need.add(c)
+        for p in (a.pair, a.cond_pair):
+            if p:
+                need.update(x for x in (p[0], p[2]) if x)
+    return need
+
+
 def window_agg(
     df: DataFrame,
     spec: WindowSpec,
     aggs: list[Agg],
     union: list[DataFrame] | None = None,
     impl: str = "auto",  # 'auto' | 'native' | 'kernel'
+    row_key: list[str] | None = None,
 ) -> DataFrame:
     """Append one column per ``Agg`` to ``df``, computed over ``spec``.
 
     Only primary (``df``) rows are returned; ``union`` tables feed
     frames only (WINDOW UNION semantics).
+
+    ``row_key``: columns that uniquely identify ``df`` rows (e.g.
+    ``(conv_id, turn_idx)``). When given, payload columns the window
+    never reads (text blobs, embeddings …) are NOT carried through the
+    evaluation: the pass runs on a projected frame and the features
+    join back on the key — at scale this keeps wide payloads out of
+    the Arrow↔Python pipe entirely (one extra JVM shuffle instead).
     """
     if impl == "auto":
         # UNBOUNDED frames whose aggregates are ALL decomposable route
@@ -241,8 +262,41 @@ def window_agg(
     if impl == "native":
         if union:
             raise ValueError("native path cannot express WINDOW UNION")
+        # multi-shuffle native plans (the distinct_count EVENT plan —
+        # large/unbounded frames) also benefit from keeping payloads
+        # out of the shuffles; small-frame dc shares the single sort,
+        # so slimming would only add a join
+        if row_key and any(a.func == "distinct_count" for a in aggs) \
+                and (spec.preceding is None or int(spec.preceding) > 256):
+            slimmed = _slim_join_back(df, spec, aggs, row_key,
+                                      lambda s: _native_window_agg(s, spec, aggs))
+            if slimmed is not None:
+                return slimmed
         return _native_window_agg(df, spec, aggs)
+    # kernel path: payload columns the kernel never reads bypass the
+    # Arrow↔Python pipe when the caller declares a unique row key
+    if row_key:
+        slimmed = _slim_join_back(
+            df, spec, aggs, row_key,
+            lambda s: window_agg(s, spec, aggs, union=union, impl="kernel"))
+        if slimmed is not None:
+            return slimmed
     return _kernel_window_agg(df, spec, aggs, union)
+
+
+def _slim_join_back(df: DataFrame, spec: WindowSpec, aggs: list[Agg],
+                    row_key: list[str], run) -> DataFrame | None:
+    """Run the window pass on a projection without payload columns and
+    join the features back on the unique ``row_key``. None when there
+    is no payload to strip."""
+    need = kernel_columns(spec, aggs) | set(row_key)
+    payload = [c for c in df.columns if c not in need]
+    if not payload:
+        return None
+    slim = df.select(*[c for c in df.columns if c in need])
+    feats = run(slim).select(*row_key, *[a.name for a in aggs])
+    out = df.join(feats, on=list(row_key), how="inner")
+    return out.select(*df.columns, *[a.name for a in aggs])
 
 
 def _native_expressible(spec: WindowSpec, aggs: list[Agg], union,
@@ -255,9 +309,12 @@ def _native_expressible(spec: WindowSpec, aggs: list[Agg], union,
         return False
     if any(a.pair is not None or a.cond_pair is not None for a in aggs):
         return False  # anchor-pair semantics are kernel-only
-    # distinct_count has no native frame-scoped exact form; Spark's
-    # median rejects window frames entirely
-    if any(a.func in ("distinct_count", "median") for a in aggs):
+    # Spark's median rejects window frames entirely; exact
+    # distinct_count has a native (event-difference) form for ROWS
+    # frames only (_native_distinct_count_rows)
+    if any(a.func == "median" for a in aggs):
+        return False
+    if any(a.func == "distinct_count" for a in aggs) and spec.frame != "rows":
         return False
     if df is not None:
         # dialect sums/avgs timestamps and dates in ms space (result is
@@ -288,9 +345,74 @@ def _order_ms_col(df: DataFrame, order_by: str) -> Column:
     return F.col(order_by).cast("long")
 
 
+def _default_lit(dt: T.DataType):
+    """The type's default value — what the reference's distinct_count
+    inserts for NULL rows (udaf id=5/6)."""
+    if isinstance(dt, T.BooleanType):
+        return F.lit(False)
+    if isinstance(dt, T.StringType):
+        return F.lit("")
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return F.timestamp_millis(F.lit(0)).cast(dt)
+    if isinstance(dt, T.DateType):
+        return F.to_date(F.lit("1970-01-01"))
+    return F.lit(0).cast(dt)
+
+
+def _native_distinct_count_rows(df: DataFrame, spec: WindowSpec, agg: Agg,
+                                rcol: str) -> DataFrame:
+    """Exact frame-scoped distinct_count as a PURE-JVM plan (ROWS
+    frames). Row j (buffer position r_j, previous same-value position
+    p_j) is a NEW distinct value inside frame i iff p_j < r_i - n, so
+    it contributes +1 to exactly the positions
+    r_i ∈ [max(r_j, p_j + n + 1), r_j + n]. Emit a +1/-1 event pair
+    per row, union with the probe rows, and one cumulative sum ordered
+    by (position, events-first) yields the count at every probe — no
+    Python, ~2 extra shuffles, scales like any JVM window.
+    """
+    keys = list(spec.partition_by)
+    vcol, pcol = "__dc_v__", "__dc_p__"
+    dt = df.schema[agg.col].dataType
+    work = df.withColumn(vcol, F.coalesce(F.col(agg.col), _default_lit(dt)))
+    w_val = Window.partitionBy(*keys, vcol).orderBy(rcol)
+    work = work.withColumn(pcol, F.lag(rcol).over(w_val)).drop(vcol)
+    if spec.preceding is None:
+        # UNBOUNDED: j contributes from r_j onward iff it has no
+        # previous occurrence — a single +1 event, no -1
+        ev_arr = F.when(
+            F.col(pcol).isNull(),
+            F.array(F.struct(F.col(rcol).alias("pos"), F.lit(1).alias("d"))),
+        ).otherwise(F.array().cast("array<struct<pos:long,d:int>>"))
+    else:
+        n = int(spec.preceding)
+        start = F.when(F.col(pcol).isNull(), F.col(rcol)).otherwise(
+            F.greatest(F.col(rcol), F.col(pcol) + n + 1))
+        ev_arr = F.array(
+            F.struct(start.cast("long").alias("pos"), F.lit(1).alias("d")),
+            F.struct((F.col(rcol) + n + 1).cast("long").alias("pos"),
+                     F.lit(-1).alias("d")),
+        )
+    events = (work.select(*keys, F.explode(ev_arr).alias("__e__"))
+              .select(*keys,
+                      F.col("__e__.pos").alias("__dc_pos__"),
+                      F.col("__e__.d").alias("__dc_d__"))
+              .withColumn("__dc_probe__", F.lit(0)))
+    probes = (work.drop(pcol)
+              .withColumn("__dc_pos__", F.col(rcol).cast("long"))
+              .withColumn("__dc_d__", F.lit(0))
+              .withColumn("__dc_probe__", F.lit(1)))
+    merged = probes.unionByName(events, allowMissingColumns=True)
+    w_cum = (Window.partitionBy(*keys).orderBy("__dc_pos__", "__dc_probe__")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    merged = merged.withColumn(agg.name, F.sum("__dc_d__").over(w_cum).cast("long"))
+    return (merged.filter(F.col("__dc_probe__") == 1)
+            .drop("__dc_pos__", "__dc_d__", "__dc_probe__"))
+
+
 def _native_window_agg(df: DataFrame, spec: WindowSpec, aggs: list[Agg]) -> DataFrame:
+    orig_cols = list(df.columns)
     order_cols = [F.col(spec.order_by)] + [F.col(c) for c in spec.tiebreak]
-    prec = -(2**62) if spec.preceding is None else -int(spec.preceding)
+    prec = Window.unboundedPreceding if spec.preceding is None else -int(spec.preceding)
     if spec.frame == "rows":
         w = (
             Window.partitionBy(*spec.partition_by)
@@ -304,8 +426,27 @@ def _native_window_agg(df: DataFrame, spec: WindowSpec, aggs: list[Agg]) -> Data
     w_lag = Window.partitionBy(*spec.partition_by).orderBy(*order_cols)
 
     out = df
+    # exact distinct_count, native. Small frames: array_distinct over a
+    # collect_list on the SAME window — zero extra shuffles, the whole
+    # aggregate list shares one sort. Large/unbounded frames: the
+    # event-difference plan (O(rows), ~2 extra narrow shuffles).
+    small_dc = spec.preceding is not None and int(spec.preceding) <= 256
+    dcs = [] if small_dc else [a for a in aggs if a.func == "distinct_count"]
+    if dcs:
+        rcol = "__dc_r__"
+        out = out.withColumn(rcol, F.row_number().over(w_lag))
+        for a in dcs:
+            out = _native_distinct_count_rows(out, spec, a, rcol)
+        out = out.drop(rcol)
     int_wrap = (T.ByteType, T.ShortType, T.IntegerType)
     for a in aggs:
+        if a.func == "distinct_count":
+            if small_dc:
+                filled = F.coalesce(F.col(a.col),
+                                    _default_lit(df.schema[a.col].dataType))
+                expr = F.size(F.array_distinct(F.collect_list(filled).over(w)))
+                out = out.withColumn(a.name, expr.cast("long"))
+            continue
         col = F.col(a.col) if a.col else None
         if a.func == "lag":
             expr = F.lag(col, a.n).over(w_lag)
@@ -340,9 +481,7 @@ def _native_window_agg(df: DataFrame, spec: WindowSpec, aggs: list[Agg]) -> Data
             }[fn]
             expr = base(src if src is not None else F.lit(1)).over(w)
         out = out.withColumn(a.name, expr)
-    if spec.frame == "rows_range":
-        out = out.drop("__order_ms__")
-    return out
+    return out.select(*orig_cols, *[a.name for a in aggs])
 
 
 # ---------------------------------------------------------------------------

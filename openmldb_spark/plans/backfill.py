@@ -55,6 +55,10 @@ class FeatureWindow:
     skew: bool = False
     skew_quantiles: int = 8
     skew_hot_threshold: int = 100_000
+    # unique row identity (e.g. (conv_id, turn_idx)) — when set, wide
+    # payload columns (text!) bypass the Arrow↔Python kernel pipe and
+    # features join back on the key instead (window_agg row_key)
+    row_key: list[str] | None = None
 
 
 def backfill_features(
@@ -83,9 +87,11 @@ def backfill_features(
                 quantiles=fw.skew_quantiles,
                 hot_threshold=fw.skew_hot_threshold,
                 union=fw.union,
+                row_key=fw.row_key,
             )
         else:
-            out = window_agg(out, fw.spec, fw.aggs, union=fw.union, impl=fw.impl)
+            out = window_agg(out, fw.spec, fw.aggs, union=fw.union, impl=fw.impl,
+                             row_key=fw.row_key)
     for src in asof or []:
         out = last_join(
             out,

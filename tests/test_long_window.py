@@ -96,14 +96,19 @@ def test_auto_routes_unbounded_decomposable_to_preagg(spark):
 
 
 def test_auto_keeps_kernel_for_mixed_aggs(spark):
-    """A non-decomposable aggregate keeps the whole list on the kernel
-    (one buffered pass beats kernel + an extra pre-agg pass)."""
+    """A kernel-only aggregate (entropy) keeps the whole list on the
+    kernel (one buffered pass beats kernel + an extra pre-agg pass);
+    sum + distinct_count routes NATIVE (event-difference dc plan)."""
     df = _random_df(spark, n=100)
     spec = WindowSpec(["k"], "ts", "rows", None, tiebreak=["id"])
     out = window_agg(df, spec, [Agg("sum", "v", "s"),
-                                Agg("distinct_count", "v", "d")], impl="auto")
+                                Agg("entropy", "v", "e")], impl="auto")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "InPandas" in plan
+    out2 = window_agg(df, spec, [Agg("sum", "v", "s"),
+                                 Agg("distinct_count", "v", "d")], impl="auto")
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert "InPandas" not in plan2
 
 
 def test_long_window_plan_is_native(spark):

@@ -74,6 +74,9 @@ def main():
             Agg("max", "ts", "max_ts_10"),
         ],
         skew=True, skew_quantiles=8, skew_hot_threshold=100_000,
+        # (conv_id, turn_idx) is the unique turn identity: text and
+        # other payloads stay OUT of the Arrow↔Python pipe
+        row_key=["conv_id", "turn_idx"],
     )
     job = backfill_features(
         primary, "ts", [fw],
