@@ -79,6 +79,9 @@ def flagship_backfill(spark, transcripts, meta):
             Agg("count", None, "n_turns_10"),
         ],
         skew=True, skew_quantiles=8, skew_hot_threshold=100_000,
+        # (conv_id, turn_idx) is the unique turn identity — text stays
+        # out of any kernel/event-plan shuffles (BENCH.md r3)
+        row_key=["conv_id", "turn_idx"],
     )
     return backfill_features(
         primary, "ts", [fw],

@@ -40,6 +40,16 @@ class SessionConfig:
     # checkpoint/resume (plans/checkpoint.py)
     checkpoint_dir: str | None = None
     ui_enabled: bool = False
+    # shuffle scratch: fast local storage (tmpfs here, local NVMe on a
+    # real cluster). A slow shared scratch disk serializes shuffle IO
+    # across cores — measured 243 s → 169 s on the 42M-row flagship at
+    # 4 cores (BENCH.md r3). None → Spark default.
+    local_dir: str | None = field(
+        default_factory=lambda: os.environ.get(
+            "SPARK_GRAFT_LOCAL_DIR",
+            "/dev/shm/sparktmp" if os.path.isdir("/dev/shm") else None,
+        )
+    )
     extra: dict = field(default_factory=dict)
 
 
@@ -69,6 +79,9 @@ def get_spark(cfg: SessionConfig | None = None):
         .config("spark.driver.memory", cfg.driver_memory)
         .config("spark.ui.enabled", "true" if cfg.ui_enabled else "false")
     )
+    if cfg.local_dir:
+        os.makedirs(cfg.local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", cfg.local_dir)
     for k, v in cfg.extra.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
