@@ -21,6 +21,8 @@ import os
 import sys
 import time
 
+from pyspark.sql import functions as F
+
 
 def build_spark(cpus: int):
     from openmldb_spark.session import SessionConfig, get_spark
@@ -35,8 +37,10 @@ def build_spark(cpus: int):
     )
 
 
-def ensure_transcripts(spark, n_convs: int, avg_turns: int, base: str = "/tmp/omldb_bench"):
+def ensure_transcripts(spark, n_convs: int, avg_turns: int, base: str | None = None):
     """Materialize the bench transcripts + conv_meta parquet once."""
+    if base is None:
+        base = os.environ.get("SPARK_GRAFT_BENCH_BASE", "/tmp/omldb_bench")
     from openmldb_spark.data import generate_conv_meta, generate_transcripts
 
     tdir = f"{base}/transcripts_{n_convs}x{avg_turns}"
@@ -50,7 +54,10 @@ def ensure_transcripts(spark, n_convs: int, avg_turns: int, base: str = "/tmp/om
     return spark.read.parquet(tdir), spark.read.parquet(mdir)
 
 
-def _run(df, repeats: int = 2) -> float:
+_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+
+
+def _run(df, repeats: int = _REPEATS) -> float:
     """Best-of-N wall time (noop sink forces full computation; min
     damps host-VM CPU contention noise and JIT warm-up)."""
     best = float("inf")

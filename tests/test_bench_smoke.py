@@ -1,0 +1,64 @@
+"""Smoke test: the shipped bench harness must run end-to-end and emit
+parseable JSON with every query key.
+
+Runs ``bench.py`` as a real subprocess (exactly how the driver invokes
+it) at tiny scale, so an import error / NameError / schema break in any
+bench query fails CI instead of voiding a round's numbers
+(VERDICT r3 "What's wrong" #1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+EXPECTED_QUERIES = {
+    "backfill_flagship",
+    "skewed_unbounded_window",
+    "long_window_preagg",
+    "rows_window_native",
+    "rows_range_kernel",
+    "last_join_asof",
+    "sessionize",
+    "group_agg",
+    "minhash_dedup",
+    "similarity_topk",
+    "generic_aggs_1k_frame",
+    "cate_aggs_1k_frame",
+    "sql_asof_join",
+}
+
+
+def test_bench_runs_end_to_end(tmp_path):
+    env = dict(os.environ)
+    env.update(
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="4",
+        SPARK_GRAFT_BENCH_CONVS="20",
+        SPARK_GRAFT_BENCH_TURNS="30",
+        SPARK_GRAFT_BENCH_BASE=str(tmp_path / "bench_data"),
+        SPARK_GRAFT_DRIVER_MEM="3g",
+        SPARK_GRAFT_BENCH_REPEATS="1",
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, f"bench.py crashed:\n{proc.stderr[-4000:]}"
+    # The JSON line is the last non-empty stdout line.
+    lines = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]
+    assert lines, f"no stdout from bench.py:\n{proc.stderr[-2000:]}"
+    out = json.loads(lines[-1])
+    assert out["unit"] == "sec"
+    assert out["value"] > 0
+    assert set(out["queries"]) == EXPECTED_QUERIES
+    assert all(v >= 0 for v in out["queries"].values())
+    assert out["turns_per_sec"] > 0
