@@ -377,17 +377,28 @@ def q_similarity_topk(spark, sf_dir):
 
 
 def q_minhash_pairs(spark, sf_dir):
+    """MinHash+LSH discovery, exact-Jaccard verified output: because
+    the emitted rows are the VERIFIED stage (exact shingle Jaccard ≥ τ
+    over candidates), the DuckDB all-pairs oracle checks them in full —
+    a green hash additionally proves LSH recall = 1 on this corpus
+    (every true pair J ≥ 0.89 here; band miss prob ≤ (1-J²)^16 ≈ 5e-11)."""
     from openmldb_spark.operators.dedup import minhash_dedup
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_dedup(docs, num_hashes=32, bands=16, jaccard_threshold=0.5)
+    out = minhash_dedup(docs, num_hashes=32, bands=16, jaccard_threshold=0.5)
+    return out.select("id_a", "id_b", _r6("jaccard").alias("jaccard"))
 
 
 def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs with the portable md5-derived 60-bit
+    fingerprint — the DuckDB oracle recomputes the identical simhashes
+    (standard MD5 both sides) and does the exact all-pairs hamming
+    join; segment bucketing is pigeonhole-exact so the outputs match
+    in full, not just on sampled pairs."""
     from openmldb_spark.operators.dedup import simhash_dedup
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_dedup(docs, max_hamming=3)
+    return simhash_dedup(docs, max_hamming=3, hash_fn="md5_60")
 
 
 def q_lsh_topk(spark, sf_dir):
@@ -397,21 +408,32 @@ def q_lsh_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return lsh_topk(emb, queries, k=5, n_planes=8, n_probes=4)
+    out = lsh_topk(emb, queries, k=5, n_planes=8, n_probes=4)
+    return out.select("query_id", "vec_id", _r6("cosine").alias("cosine"),
+                      F.col("rank").cast("long").alias("rank"))
+
+
+def _backfill_scale(sf_dir: str) -> tuple[int, int]:
+    return {"sf0.001": (20, 40), "sf0.01": (100, 80)}.get(
+        sf_dir.rstrip("/").rsplit("/", 1)[-1], (50, 60)
+    )
 
 
 def q_backfill_transcripts(spark, sf_dir):
-    """Flagship: full point-in-time feature backfill over deterministic
-    synthetic transcripts (FIXTURES.md schema) — rows-only check."""
-    from openmldb_spark.data import generate_conv_meta, generate_transcripts
+    """Flagship: full point-in-time feature backfill (as-of LAST JOIN +
+    rows-window features + sessionize) over the SQL-replicable LCG
+    transcripts — the DuckDB oracle regenerates the identical input as
+    a CTE, so the whole feature vector is value-hash checked.
+
+    Timestamps are emitted as epoch-ms BIGINTs so the compare is
+    session-timezone-independent on both sides."""
+    from openmldb_spark.data.lcg import generate_conv_meta_lcg, generate_transcripts_lcg
     from openmldb_spark.operators.window import Agg, WindowSpec
     from openmldb_spark.plans.backfill import AsOfSource, FeatureWindow, backfill_features
 
-    scale = {"sf0.001": (20, 40), "sf0.01": (100, 80)}.get(
-        sf_dir.rstrip("/").rsplit("/", 1)[-1], (50, 60)
-    )
-    t = generate_transcripts(spark, n_convs=scale[0], avg_turns=scale[1], seed=42)
-    meta = generate_conv_meta(spark, n_convs=scale[0], seed=42)
+    scale = _backfill_scale(sf_dir)
+    t = generate_transcripts_lcg(spark, n_convs=scale[0], avg_turns=scale[1], seed=42)
+    meta = generate_conv_meta_lcg(spark, n_convs=scale[0], seed=42)
     primary = t.withColumn("__is_tool__", F.col("role") == "tool")
     fw = FeatureWindow(
         spec=WindowSpec(["conv_id"], "ts", "rows", 10, tiebreak=["turn_idx"]),
@@ -427,7 +449,13 @@ def q_backfill_transcripts(spark, sf_dir):
         asof=[AsOfSource(meta, on=["conv_id"], right_ts="ts", prefix="m_")],
         session_key="conv_id", session_gap=1800.0, session_tiebreak=["turn_idx"],
     )
-    return out.drop("__is_tool__")
+    return out.select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.unix_millis("ts").alias("ts_ms"),
+        "n_tool_calls_10", "n_distinct_tools_10", "prev_tool", "prev_role",
+        F.unix_millis("m_ts").alias("m_ts_ms"),
+        "m_model", "m_channel", "m_priority", "session_id",
+    )
 
 
 def q_nth_value_where_window(spark, sf_dir):
@@ -914,6 +942,168 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN region ON nation.n_regionkey = region.r_regionkey
               AND region.r_regionkey < 3
         """,
-        # minhash_pairs / simhash_pairs / lsh_topk / backfill_transcripts:
-        # non-SQL-expressible (hash-based discovery) → rows-only check
+        "backfill_transcripts": _backfill_oracle(),
+        "minhash_pairs": _MINHASH_ORACLE,
+        "simhash_pairs": _SIMHASH_ORACLE,
+        "lsh_topk": _lsh_oracle(),
     }
+
+
+# Exact all-pairs shingle Jaccard (same word-3-gram definition as
+# openmldb_spark.operators.dedup.shingles). The Spark side emits the
+# exact-verified stage, so green hash == LSH recall 1 on this corpus.
+_MINHASH_ORACLE = r"""
+    WITH sh AS (
+      SELECT doc_id, sset FROM (
+        SELECT doc_id,
+          list_distinct([g for g in
+            [array_to_string(toks[i+1:i+3], ' ')
+             for i in range(0, greatest(len(toks)-3, 0) + 1)]
+            if len(g) > 0]) AS sset
+        FROM (SELECT doc_id,
+                regexp_split_to_array(
+                  trim(regexp_replace(lower(text), '[^\w\s]', '', 'g')),
+                  '\s+') AS toks
+              FROM documents)
+      ) WHERE len(sset) > 0
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.sset, b.sset)) * 1.0
+                 / len(list_distinct(list_concat(a.sset, b.sset))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sset, b.sset)) * 1.0
+          / len(list_distinct(list_concat(a.sset, b.sset))) >= 0.5
+"""
+
+# Recompute the md5_60 simhash per doc (bit-for-bit: standard MD5,
+# first 15 hex chars → 60-bit int; per-bit weighted majority over
+# token multiplicities), then exact all-pairs hamming ≤ 3.
+_SIMHASH_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+        regexp_split_to_array(
+          trim(regexp_replace(lower(text), '[^\w\s]', '', 'g')), '\s+'),
+        t -> len(t) > 0)) AS tok
+      FROM documents
+    ),
+    th AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+    ),
+    bt AS (
+      SELECT doc_id, b,
+             CASE WHEN 2 * SUM((h >> b) & 1) > COUNT(*)
+                  THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+      FROM th CROSS JOIN (SELECT unnest(range(60))::INT AS b) bb
+      GROUP BY doc_id, b
+    ),
+    sh0 AS (
+      SELECT doc_id, CAST(SUM(bit * (1::BIGINT << b)) AS BIGINT) AS h
+      FROM bt GROUP BY doc_id
+    ),
+    sh AS (
+      SELECT d.doc_id, COALESCE(s.h, 0) AS h
+      FROM documents d LEFT JOIN sh0 s USING (doc_id)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.h, b.h))::INT AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.h, b.h)) <= 3
+"""
+
+
+def _lsh_oracle() -> str:
+    """Replicate lsh_topk's hyperplane bucketing in DuckDB: the planes
+    are the same seeded numpy constants (seed 42, 8 planes, dim 64 —
+    the driver-gate corpus), embedded as double literals; signatures,
+    the 4 multi-probe buckets, candidate cosine and top-5 ranking all
+    recomputed independently."""
+    import numpy as np
+
+    planes = np.random.default_rng(42).standard_normal((8, 64))
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_inner_product(v, "
+        f"[{', '.join(repr(float(x)) for x in planes[i])}]) > 0 "
+        f"THEN {1 << i}::BIGINT ELSE 0 END)"
+        for i in range(8)
+    )
+    return f"""
+        WITH c AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        cs AS (
+          SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS n,
+                 {sig_terms} AS b
+          FROM c
+        ),
+        probes AS (
+          SELECT vec_id AS query_id, v AS qv, n AS qn,
+                 unnest([b, xor(b, 1), xor(b, 2), xor(b, 4)]) AS b
+          FROM cs WHERE vec_id < 3
+        ),
+        cand AS (
+          SELECT DISTINCT p.query_id, c.vec_id,
+                 list_inner_product(c.v, p.qv) / (c.n * p.qn) AS cosine
+          FROM cs c JOIN probes p USING (b)
+        ),
+        ranked AS (
+          SELECT query_id, vec_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, vec_id) AS rank
+          FROM cand
+        )
+        SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine,
+               CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 5
+    """
+
+
+def _backfill_oracle() -> str:
+    """Full-value oracle for the flagship backfill: DuckDB regenerates
+    the LCG transcripts + conv_meta as CTEs (bit-exact integer-hash
+    twins of openmldb_spark.data.lcg), then computes the same feature
+    vector with native windows + a lateral as-of join.
+
+    Baked at the driver's gate scale (sf0.01 → 100 convs × 80 turns);
+    the pytest parity test covers other scales."""
+    from openmldb_spark.data.lcg import duckdb_conv_meta_cte, duckdb_transcripts_cte
+
+    return f"""
+        WITH {duckdb_transcripts_cte(100, 80, 42)},
+        {duckdb_conv_meta_cte(100, 42)},
+        r AS (
+          SELECT conv_id, turn_idx, role, text, tool, ts_ms,
+                 ROW_NUMBER() OVER wo AS rn,
+                 COUNT(CASE WHEN role = 'tool' THEN 1 END) OVER w10 AS n_tool_calls_10,
+                 LAG(tool) OVER wo AS prev_tool,
+                 LAG(role) OVER wo AS prev_role,
+                 LAG(ts_ms) OVER wo AS prev_ts_ms
+          FROM lcg_t
+          WINDOW wo AS (PARTITION BY conv_id ORDER BY ts_ms, turn_idx),
+                 w10 AS (PARTITION BY conv_id ORDER BY ts_ms, turn_idx
+                         ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)
+        ),
+        s AS (
+          SELECT r.*,
+            (SELECT COUNT(DISTINCT COALESCE(v.tool, '')) FROM r v
+               WHERE v.conv_id = r.conv_id
+                 AND v.rn BETWEEN r.rn - 10 AND r.rn) AS n_distinct_tools_10,
+            COUNT(CASE WHEN prev_ts_ms IS NULL
+                       OR ts_ms - prev_ts_ms > 1800000 THEN 1 END)
+              OVER (PARTITION BY conv_id ORDER BY ts_ms, turn_idx
+                    ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+          FROM r
+        )
+        SELECT s.conv_id, s.turn_idx, s.role, s.text, s.tool, s.ts_ms,
+               s.n_tool_calls_10, s.n_distinct_tools_10,
+               s.prev_tool, s.prev_role,
+               mm.m_ts_ms, mm.m_model, mm.m_channel, mm.m_priority,
+               s.session_id
+        FROM s
+        LEFT JOIN LATERAL (
+          SELECT m.ts_ms AS m_ts_ms, m.model AS m_model,
+                 m.channel AS m_channel, m.priority AS m_priority
+          FROM lcg_meta m
+          WHERE m.conv_id = s.conv_id AND m.ts_ms <= s.ts_ms
+          ORDER BY m.ts_ms DESC LIMIT 1
+        ) mm ON TRUE
+    """

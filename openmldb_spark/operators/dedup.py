@@ -194,15 +194,27 @@ def minhash_dedup(
     )
 
 
-def simhash(col, seed: int = 42) -> Column:
+def simhash(col, seed: int = 42, hash_fn: str = "xxhash64") -> Column:
     """64-bit SimHash over word tokens, fully native: per token one
-    xxhash64; per bit a weighted majority via explode-free bit sums."""
+    hash; per bit a weighted majority via explode-free bit sums.
+
+    ``hash_fn='md5_60'`` derives a 60-bit token hash from the first 15
+    hex chars of standard MD5 instead of xxhash64 — slower, but
+    portable: any engine with md5() reproduces it bit-for-bit, which
+    lets the driver's DuckDB oracle recompute the exact fingerprints
+    (seed is ignored on this path; used by the value-checked driver
+    query)."""
     c = F.col(col) if isinstance(col, str) else col
     toks = F.filter(
         F.split(F.trim(F.lower(F.regexp_replace(c, r"[^\w\s]", ""))), r"\s+"),
         lambda t: F.length(t) > 0,
     )
-    hashes = F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed)))
+    if hash_fn == "md5_60":
+        hashes = F.transform(
+            toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+        )
+    else:
+        hashes = F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed)))
     n = F.size(toks)
 
     def bit_expr(bit: int) -> Column:
@@ -233,17 +245,19 @@ def simhash_dedup(
     max_hamming: int = 3,
     seed: int = 42,
     max_bucket_size: int = 2000,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with simhash hamming distance ≤ max_hamming.
 
     Bucketing: split the 64-bit hash into (max_hamming+1) segments —
     two docs within distance k must agree exactly on ≥1 segment
-    (pigeonhole), so candidates = same-segment-value pairs. Shuffle
-    cost: (k+1) buckets per doc.
+    (pigeonhole, EXACT — recall 1 up to the bucket cap), so candidates
+    = same-segment-value pairs. Shuffle cost: (k+1) buckets per doc.
     """
     nseg = max_hamming + 1
     seg_bits = 64 // nseg
-    h = df.select(F.col(id_col).alias("__id__"), simhash(text_col, seed).alias("__h__"))
+    h = df.select(F.col(id_col).alias("__id__"),
+                  simhash(text_col, seed, hash_fn=hash_fn).alias("__h__"))
     segs = [
         F.struct(
             F.lit(i).alias("seg"),
