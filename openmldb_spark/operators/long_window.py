@@ -43,7 +43,8 @@ from pyspark.sql import types as T
 
 from openmldb_spark.operators.window import Agg, WindowSpec
 
-__all__ = ["long_window_agg", "long_window_eligible", "split_decomposable"]
+__all__ = ["long_window_agg", "long_window_eligible", "split_decomposable",
+           "rewrite_unbounded_distinct_count"]
 
 _DECOMPOSABLE = {"sum", "count", "avg", "min", "max",
                  "sum_where", "count_where", "avg_where", "min_where", "max_where"}
@@ -93,6 +94,51 @@ def split_decomposable(aggs: list[Agg], df: DataFrame | None = None) -> tuple[li
     dec = [a for a in aggs if _eligible_agg(a, df)]
     rest = [a for a in aggs if not _eligible_agg(a, df)]
     return dec, rest
+
+
+def rewrite_unbounded_distinct_count(
+    df: DataFrame, spec: WindowSpec, aggs: list[Agg]
+) -> tuple[DataFrame, list[Agg]]:
+    """Rewrite each plain UNBOUNDED ``distinct_count`` into a SUM over
+    a first-occurrence indicator — which IS decomposable, so the whole
+    aggregate list can then take the skew-free long-window pre-agg
+    plan instead of salted full-history replication.
+
+    dc(frame ≤ i) = #{rows j ≤ i that are the first buffer occurrence
+    of their value within the partition}: the indicator is a
+    ``row_number() == 1`` over (keys, value) in buffer order — an
+    unskewed shuffle (values spread hot keys) — and the cumulative sum
+    is exactly what ``long_window_agg`` bucket-decomposes. NULL values
+    count as the type default, matching the reference's dc semantics
+    (udaf id=5/6).
+
+    Returns ``(df', aggs')`` — unchanged inputs when nothing applies.
+    The caller is responsible for dropping the indicator columns
+    (select the original columns + agg names)."""
+    if spec.preceding is not None:
+        return df, aggs
+    dcs = [a for a in aggs if a.func == "distinct_count"
+           and a.col is not None and a.cond is None and a.split is None
+           and a.pair is None and a.cond_pair is None]
+    if not dcs:
+        return df, aggs
+    from openmldb_spark.operators.window import _default_lit
+
+    order_cols = [F.col(spec.order_by)] + [F.col(c) for c in spec.tiebreak]
+    out = df
+    new_aggs: list[Agg] = []
+    for i, a in enumerate(aggs):
+        if a not in dcs:
+            new_aggs.append(a)
+            continue
+        ind = f"__dc_ind_{i}__"
+        vfill = F.coalesce(F.col(a.col), _default_lit(df.schema[a.col].dataType))
+        w_first = Window.partitionBy(*spec.partition_by, vfill).orderBy(*order_cols)
+        out = out.withColumn(
+            ind, F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).cast("long")
+        )
+        new_aggs.append(Agg("sum", ind, a.name))
+    return out, new_aggs
 
 
 def _order_ms(df: DataFrame, order_by: str) -> Column:

@@ -39,13 +39,34 @@ from openmldb_spark.operators.window import (
     with_flags,
 )
 
-# last persisted hot-subset — unpersisted when the next skewed window
-# call persists a new one, bounding cache accretion in long sessions
+# persisted hot-subsets of recent skewed-window calls. Bounded FIFO
+# (not unpersist-on-next-call): a multi-window lazy backfill builds
+# several plans before any action runs, and unpersisting window 1's
+# hot cache while building window 2 would force a recompute at action
+# time (VERDICT r3 #10)
 _LAST_HOT = []
+_MAX_HOT_CACHED = 8
 
-__all__ = ["window_agg_skewed"]
+__all__ = ["window_agg_skewed", "key_counts"]
 
 _BUCKET = "__skew_bucket__"
+
+
+def key_counts(df: DataFrame, keys: list[str], cache: bool = True) -> DataFrame:
+    """Per-key row counts (columns ``*keys, __n__``) — the skew
+    statistics table. Compute once and pass to several
+    ``window_agg_skewed`` calls (or ``backfill_features`` windows) via
+    ``key_stats=`` so a k-window plan runs ONE statistics job instead
+    of k probe scans — the batch analogue of the reference's
+    precomputed ``openmldb.window.skew.opt.config`` distribution table
+    (WindowAggPlan.scala:245-251)."""
+    out = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n__"))
+    if cache:
+        out = out.persist()
+        _LAST_HOT.append(out)  # same bounded-FIFO lifecycle as hot caches
+        while len(_LAST_HOT) > _MAX_HOT_CACHED:
+            _LAST_HOT.pop(0).unpersist(False)
+    return out
 
 
 def _order_ms_expr(df: DataFrame, order_by: str):
@@ -64,6 +85,7 @@ def window_agg_skewed(
     union: list[DataFrame] | None = None,
     row_key: list[str] | None = None,
     native_when_cold: bool = True,
+    key_stats: DataFrame | None = None,
 ) -> DataFrame:
     """``window_agg(impl='kernel')`` with time-quantile salting of hot
     keys; output identical, physical partitioning finer for hot keys.
@@ -78,16 +100,27 @@ def window_agg_skewed(
     ``row_key`` (unique row identity): payload columns the window never
     reads stay OUT of the Arrow↔Python pipe — the salted kernel runs on
     a projected frame and features join back on the key (see
-    window_agg)."""
+    window_agg).
+
+    ``key_stats``: precomputed per-key counts (``key_counts``) shared
+    across calls — replaces this call's own statistics scans, so a
+    k-window backfill pays for ONE distribution job (the reference's
+    ``openmldb.window.skew.opt.config`` pattern)."""
+    from openmldb_spark.operators.window import canonicalize_spec
+
+    spec = canonicalize_spec(spec)
     keys = list(spec.partition_by)
 
     if spec.preceding is None and not union:
         from openmldb_spark.operators.long_window import (
-            long_window_agg, long_window_eligible)
+            long_window_agg, long_window_eligible, rewrite_unbounded_distinct_count)
 
-        if long_window_eligible(spec, aggs, union, df):
-            return long_window_agg(df, spec, aggs)
+        df2, aggs2 = rewrite_unbounded_distinct_count(df, spec, aggs)
+        if long_window_eligible(spec, aggs2, union, df2):
+            out = long_window_agg(df2, spec, aggs2)
+            return out.select(*df.columns, *[a.name for a in aggs])
 
+    counts = key_stats if key_stats is not None else None
     if native_when_cold and not union:
         from openmldb_spark.operators.window import (
             _native_expressible, window_agg)
@@ -97,10 +130,11 @@ def window_agg_skewed(
             # skew-config decision): one cheap key-count scan — when NO
             # key reaches hot_threshold, salting buys nothing and the
             # pure-JVM native window plan (zero Python, whole-stage
-            # codegen) is strictly better
-            n_hot = (df.groupBy(*keys)
-                     .agg(F.count(F.lit(1)).alias("__n__"))
-                     .filter(F.col("__n__") >= hot_threshold)
+            # codegen) is strictly better. With ``key_stats`` supplied
+            # the probe is a filter on the cached tiny table.
+            if counts is None:
+                counts = key_counts(df, keys, cache=False)
+            n_hot = (counts.filter(F.col("__n__") >= hot_threshold)
                      .limit(1).count())
             if n_hot == 0:
                 return window_agg(df, spec, aggs, impl="native", row_key=row_key)
@@ -116,7 +150,8 @@ def window_agg_skewed(
             slim = df.select(*[c for c in df.columns if c in need])
             feats = window_agg_skewed(slim, spec, aggs, quantiles,
                                       hot_threshold, union,
-                                      native_when_cold=False)
+                                      native_when_cold=False,
+                                      key_stats=counts)
             feats = feats.select(*row_key, *[a.name for a in aggs])
             out = df.join(feats, on=list(row_key), how="inner")
             return out.select(*df.columns, *[a.name for a in aggs])
@@ -127,12 +162,17 @@ def window_agg_skewed(
     # only runs over HOT keys' rows (a per-key count is a cheap partial
     # aggregate; sketching every key's timeline is not):
     probs = [i / quantiles for i in range(1, quantiles)]
-    hot_keys = (
-        work.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("__n__"))
-        .filter(F.col("__n__") >= hot_threshold)
-        .select(*keys)
-    )
+    if counts is not None and not union:
+        # reuse the shared statistics table (primary-only is exact:
+        # no union rows to fold in)
+        hot_keys = counts.filter(F.col("__n__") >= hot_threshold).select(*keys)
+    else:
+        hot_keys = (
+            work.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__n__"))
+            .filter(F.col("__n__") >= hot_threshold)
+            .select(*keys)
+        )
     dist = (
         work.join(F.broadcast(hot_keys), on=keys, how="left_semi")
         .groupBy(*keys)
@@ -157,9 +197,9 @@ def window_agg_skewed(
     # branches don't each re-scan the full table (hot rows are a bounded
     # fraction by construction, safe to cache even at 10^12 total rows).
     hot = tagged.filter(F.col("__qs__").isNotNull()).persist()
-    while _LAST_HOT:
-        _LAST_HOT.pop().unpersist(False)
     _LAST_HOT.append(hot)
+    while len(_LAST_HOT) > _MAX_HOT_CACHED:
+        _LAST_HOT.pop(0).unpersist(False)
     copies = []
     if spec.preceding is None:
         for i in range(1, quantiles):

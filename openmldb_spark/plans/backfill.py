@@ -78,16 +78,26 @@ def backfill_features(
     columns would need the enrich-first order — not supported here.
     """
     out = primary
+    # ONE skew-statistics job per distinct partition-key-set, shared by
+    # every skewed window over it (the reference precomputes the same
+    # distribution via openmldb.window.skew.opt.config —
+    # WindowAggPlan.scala:245-251); without this, k skewed windows pay
+    # k probe scans of the full primary table
+    stats_cache: dict[tuple[str, ...], DataFrame] = {}
     for fw in windows:
         if fw.skew:
-            from openmldb_spark.operators.skew import window_agg_skewed
+            from openmldb_spark.operators.skew import key_counts, window_agg_skewed
 
+            kset = tuple(fw.spec.partition_by)
+            if kset not in stats_cache:
+                stats_cache[kset] = key_counts(primary, list(kset))
             out = window_agg_skewed(
                 out, fw.spec, fw.aggs,
                 quantiles=fw.skew_quantiles,
                 hot_threshold=fw.skew_hot_threshold,
                 union=fw.union,
                 row_key=fw.row_key,
+                key_stats=stats_cache[kset],
             )
         else:
             out = window_agg(out, fw.spec, fw.aggs, union=fw.union, impl=fw.impl,
