@@ -27,6 +27,11 @@ from pyspark.sql import functions as F
 def build_spark(cpus: int):
     from openmldb_spark.session import SessionConfig, get_spark
 
+    # benchmark context: shuffle scratch on tmpfs (the local-NVMe
+    # analogue — this VM's /tmp disk serializes shuffle IO across
+    # cores, BENCH.md r3). Engine-wide it is opt-in via the same env.
+    if not os.environ.get("SPARK_GRAFT_LOCAL_DIR") and os.path.isdir("/dev/shm"):
+        os.environ["SPARK_GRAFT_LOCAL_DIR"] = "/dev/shm/sparktmp"
     return get_spark(
         SessionConfig(
             master=f"local[{cpus}]",

@@ -114,9 +114,15 @@ def _rownum_join(left, right, keys, order_by, condition,
                  asof_left_ts, asof_right_ts, strict, broadcast, right_prefix,
                  prefix_keys: bool = False, pick: str = "max"):
     right2, m = _renamed_right(right, keys, right_prefix, prefix_keys)
-    # tag left rows; monotonically_increasing_id is unique per row and
-    # requires no shuffle (reference: SparkUtil.addIndexColumn)
-    lt = left.withColumn(_LIDX, F.monotonically_increasing_id())
+    # tag left rows (reference: SparkUtil.addIndexColumn). Raw
+    # monotonically_increasing_id is hazardous under AQE stage retry:
+    # a replayed partition can read its shuffle blocks in a different
+    # ORDER and re-tag rows differently (VERDICT r3 #2). Partition
+    # CONTENT is deterministic for hash-shuffle / file-scan lineages,
+    # so a canonical within-partition sort (no shuffle, no Python)
+    # makes the (partition, position) tag reproducible on replay.
+    lt = left.sortWithinPartitions(*left.columns).withColumn(
+        _LIDX, F.monotonically_increasing_id())
 
     cond = None
     for lk, rk in keys:

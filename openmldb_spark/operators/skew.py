@@ -146,14 +146,22 @@ def window_agg_skewed(
 
         need = kernel_columns(spec, aggs) | set(row_key)
         payload = [c for c in df.columns if c not in need]
-        if payload:
+        if payload and not any(a.name in df.columns for a in aggs):
             slim = df.select(*[c for c in df.columns if c in need])
             feats = window_agg_skewed(slim, spec, aggs, quantiles,
                                       hot_threshold, union,
                                       native_when_cold=False,
                                       key_stats=counts)
             feats = feats.select(*row_key, *[a.name for a in aggs])
-            out = df.join(feats, on=list(row_key), how="inner")
+            # null-safe join-back: NULL key components must not drop
+            # rows (see window._slim_join_back)
+            for k in row_key:
+                feats = feats.withColumnRenamed(k, f"__rk_{k}__")
+            cond = None
+            for k in row_key:
+                c = df[k].eqNullSafe(F.col(f"__rk_{k}__"))
+                cond = c if cond is None else (cond & c)
+            out = df.join(feats, on=cond, how="inner")
             return out.select(*df.columns, *[a.name for a in aggs])
 
     work = with_flags(df, union).withColumn("__oms__", _order_ms_expr(df, spec.order_by))

@@ -318,14 +318,28 @@ def _slim_join_back(df: DataFrame, spec: WindowSpec, aggs: list[Agg],
                     row_key: list[str], run) -> DataFrame | None:
     """Run the window pass on a projection without payload columns and
     join the features back on the unique ``row_key``. None when there
-    is no payload to strip."""
+    is no payload to strip (or an agg name collides with an input
+    column — the caller's non-slim path then owns the semantics).
+
+    The join-back is null-safe (``<=>``): a NULL in a row_key column
+    still matches its own feature row instead of silently dropping the
+    row. Key UNIQUENESS remains the caller's contract — duplicates
+    would multiply rows."""
+    if any(a.name in df.columns for a in aggs):
+        return None
     need = kernel_columns(spec, aggs) | set(row_key)
     payload = [c for c in df.columns if c not in need]
     if not payload:
         return None
     slim = df.select(*[c for c in df.columns if c in need])
     feats = run(slim).select(*row_key, *[a.name for a in aggs])
-    out = df.join(feats, on=list(row_key), how="inner")
+    for k in row_key:
+        feats = feats.withColumnRenamed(k, f"__rk_{k}__")
+    cond = None
+    for k in row_key:
+        c = df[k].eqNullSafe(F.col(f"__rk_{k}__"))
+        cond = c if cond is None else (cond & c)
+    out = df.join(feats, on=cond, how="inner")
     return out.select(*df.columns, *[a.name for a in aggs])
 
 
@@ -1183,6 +1197,60 @@ def _eval_cate_vec(agg: Agg, pdf: pd.DataFrame, lo, seg_hi, inc_cur,
     return out
 
 
+def _eval_top_vec(agg: Agg, pdf: pd.DataFrame, lo, seg_hi, inc_cur,
+                  emit_pos: np.ndarray) -> np.ndarray:
+    """``top`` / ``topn_frequency`` — vectorized per-frame bincounts
+    over the factorized value column (the last per-frame Python list
+    builds, VERDICT r3 #5). INSTANCE_NOT_IN_WINDOW frames keep the
+    generic path (seg_mask semantics live there)."""
+    fn = agg.func
+    col_s = pdf[agg.col]
+    codes, cats = pd.factorize(col_s, use_na_sentinel=True)
+    cats = list(cats)
+    try:
+        cat_order = sorted(range(len(cats)), key=lambda c: cats[c])
+    except TypeError:
+        cat_order = sorted(range(len(cats)), key=lambda c: str(cats[c]))
+    desc_order = list(reversed(cat_order))
+    key_str = [_fmt_scalar(c) for c in cats]
+    ok = codes >= 0
+    ncat = len(cats)
+    n = len(pdf)
+    out = np.full(n, None, dtype=object)
+    topn = int(agg.n)
+    for i in emit_pos:
+        s0, s1 = lo[i], seg_hi[i] + 1
+        cs = codes[s0:s1][ok[s0:s1]]
+        cnts = np.bincount(cs, minlength=ncat)
+        if inc_cur[i] and ok[i]:
+            cnts[codes[i]] += 1
+        if fn == "top":
+            parts = []
+            remaining = topn
+            for c in desc_order:
+                k = int(cnts[c])
+                if not k:
+                    continue
+                t = min(k, remaining)
+                parts.extend([key_str[c]] * t)
+                remaining -= t
+                if remaining == 0:
+                    break
+            out[i] = ",".join(parts)
+        else:  # topn_frequency — count desc, value asc, 'NULL'-padded;
+            # an empty FRAME (no rows at all, null or not) yields ''
+            flen = max(s1 - s0, 0) + (1 if inc_cur[i] else 0)
+            if flen == 0:
+                out[i] = ""
+                continue
+            cands = [c for c in cat_order if cnts[c] > 0]
+            cands.sort(key=lambda c: -cnts[c])  # stable → value-asc ties
+            keys = [key_str[c] for c in cands[:topn]]
+            keys += ["NULL"] * (topn - len(keys))
+            out[i] = ",".join(keys)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # two-pointer incremental evaluation (entropy / ew_avg / top1_ratio)
 # ---------------------------------------------------------------------------
@@ -1341,6 +1409,8 @@ def _eval_generic(agg: Agg, pdf: pd.DataFrame, lo, seg_hi, inc_cur,
     if _TOPN_CATE_RE.match(fn):
         return _eval_topn_cate(agg, pdf, lo, seg_hi, inc_cur, emit_pos,
                                 seg_mask if seg_mask is not cur_mask else None)
+    if fn in ("top", "topn_frequency") and seg_mask is None:
+        return _eval_top_vec(agg, pdf, lo, seg_hi, inc_cur, emit_pos)
     def _objvals(c):
         s = pdf[c]
         if pd.api.types.is_extension_array_dtype(s.dtype):

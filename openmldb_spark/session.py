@@ -40,15 +40,15 @@ class SessionConfig:
     # checkpoint/resume (plans/checkpoint.py)
     checkpoint_dir: str | None = None
     ui_enabled: bool = False
-    # shuffle scratch: fast local storage (tmpfs here, local NVMe on a
-    # real cluster). A slow shared scratch disk serializes shuffle IO
-    # across cores — measured 243 s → 169 s on the 42M-row flagship at
-    # 4 cores (BENCH.md r3). None → Spark default.
+    # shuffle scratch: fast local storage (tmpfs on this VM, local NVMe
+    # on a real cluster). A slow shared scratch disk serializes shuffle
+    # IO across cores — measured 243 s → 169 s on the 42M-row flagship
+    # at 4 cores (BENCH.md r3). OPT-IN via SPARK_GRAFT_LOCAL_DIR (set
+    # by bench.py / tools/run_scaling.sh): RAM-backed tmpfs as a silent
+    # default could ENOSPC large spills or compete with executor memory
+    # on machines where /dev/shm is small. None → Spark default.
     local_dir: str | None = field(
-        default_factory=lambda: os.environ.get(
-            "SPARK_GRAFT_LOCAL_DIR",
-            "/dev/shm/sparktmp" if os.path.isdir("/dev/shm") else None,
-        )
+        default_factory=lambda: os.environ.get("SPARK_GRAFT_LOCAL_DIR") or None
     )
     extra: dict = field(default_factory=dict)
 

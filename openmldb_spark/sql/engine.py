@@ -851,6 +851,8 @@ def _split_anchor_pair(expr: str, phs: list[str]):
                 cands["mul"].append((i, ch))
         i += 1
     for kind in ("cmp", "add", "mul"):
+        if not cands[kind]:
+            continue
         for pos, op in cands[kind]:
             left, right = expr[:pos], expr[pos + len(op):]
             cop = _CANON_OP.get(op, op)
@@ -858,6 +860,12 @@ def _split_anchor_pair(expr: str, phs: list[str]):
                 return left.strip(), cop, right.strip()
             if has_ph(left) and not has_ph(right) and not has_col(left):
                 return right.strip(), _MIRROR_OP.get(cop, cop), left.strip()
+        # the lowest-precedence level present is the expression's
+        # top-level operator; if no candidate there isolates the
+        # placeholders, splitting at a HIGHER-precedence operator would
+        # silently re-associate (e.g. `c1 + c2 * agg()` computed as
+        # `(c1+c2) * anchor`) — report unsupported instead
+        return None
     return None
 
 
