@@ -75,9 +75,14 @@ def like_regex(pat: str, esc: str) -> str | None:
     """Dialect LIKE pattern → anchored-regex body; ``None`` for a
     dangling escape (matches nothing). Any char may be the escape;
     an empty escape leaves wildcards live (shared with the SQL
-    front-end's _rewrite_like_escape)."""
+    front-end's _rewrite_like_escape). A MULTI-character escape string
+    never matches either — the reference rejects the whole match
+    rather than treating the escape as inert
+    (test_like_match.yaml id=28)."""
     import re as _re
 
+    if len(esc) > 1:
+        return None
     out = []
     i = 0
     while i < len(pat):

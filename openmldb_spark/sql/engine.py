@@ -938,6 +938,159 @@ def _rewrite_like_escape(sql: str) -> str:
         repl_noesc, sql)
 
 
+def _rewrite_in_lists(text: str, df: DataFrame) -> str:
+    """Dialect IN-list coercions (query/simple_query.yaml in_predicate
+    family): when an IN list mixes string and non-string operands, each
+    membership test compares through the dialect's string rendering
+    (``'1' IN (1.0, 2.0)`` is TRUE — 1.0 renders as '1'). Lower
+    ``x [NOT] IN (e1, …)`` to an OR chain of dialect comparisons;
+    NULL members keep three-valued logic through plain OR/NOT.
+    Homogeneous lists and subqueries pass through untouched (Spark's
+    native IN already matches the dialect there)."""
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+
+    def stringness(e: str) -> bool | None:
+        e = e.strip()
+        while e.startswith("(") and e.endswith(")"):
+            e = e[1:-1].strip()
+        if e.startswith("'") or e.startswith('"'):
+            return True
+        m = re.match(r"^`?([A-Za-z_]\w*)`?$", e)
+        if m:
+            t = by_name.get(m.group(1))
+            if t is not None:
+                return isinstance(t, T.StringType)
+        if re.match(r"^[-+]?(\d+(\.\d+)?|\.\d+)([eE][-+]?\d+)?[fFlL]?$", e):
+            return False
+        if re.match(r"(?i)^(true|false)$", e):
+            return False
+        return None
+
+    out = []
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch in ("'", '"'):
+            j = i + 1
+            while j < n:
+                if text[j] == "\\":
+                    j += 2
+                    continue
+                if text[j] == ch:
+                    j += 1
+                    break
+                j += 1
+            out.append(text[i:j])
+            i = j
+            continue
+        m = re.match(r"(?i)IN\s*\(", text[i:])
+        if not (m and re.match(r"\w", ch) and (i == 0 or not re.match(r"[\w.`]", text[i - 1]))):
+            out.append(ch)
+            i += 1
+            continue
+        # balanced-scan the list (quote-aware)
+        j = i + m.end()
+        depth = 1
+        k = j
+        while k < n and depth:
+            c2 = text[k]
+            if c2 in ("'", '"'):
+                q = c2
+                k += 1
+                while k < n:
+                    if text[k] == "\\":
+                        k += 2
+                        continue
+                    if text[k] == q:
+                        break
+                    k += 1
+            elif c2 == "(":
+                depth += 1
+            elif c2 == ")":
+                depth -= 1
+            k += 1
+        inner = text[j:k - 1]
+        if re.match(r"(?is)^\s*select\b", inner):
+            out.append(ch)
+            i += 1
+            continue
+        # split top-level commas
+        elems, buf, d = [], [], 0
+        p = 0
+        while p < len(inner):
+            c2 = inner[p]
+            if c2 in ("'", '"'):
+                q = c2
+                buf.append(c2)
+                p += 1
+                while p < len(inner):
+                    buf.append(inner[p])
+                    if inner[p] == "\\":
+                        p += 1
+                        buf.append(inner[p] if p < len(inner) else "")
+                    elif inner[p] == q:
+                        break
+                    p += 1
+                p += 1
+                continue
+            if c2 == "(":
+                d += 1
+            elif c2 == ")":
+                d -= 1
+            if c2 == "," and d == 0:
+                elems.append("".join(buf))
+                buf = []
+            else:
+                buf.append(c2)
+            p += 1
+        if buf:
+            elems.append("".join(buf))
+        # LHS: word/qualified/backticked name or literal directly before
+        lhs_end = len("".join(out))
+        so_far = "".join(out)
+        mlhs = re.search(r"([\w.`]+|'(?:[^'\\]|\\.)*')\s*$", so_far)
+        kinds = {stringness(e) for e in elems}
+        klhs = stringness(mlhs.group(1)) if mlhs else None
+        if (mlhs is None or None in kinds or klhs is None
+                or len({klhs} | kinds) < 2):
+            out.append(text[i:k])
+            i = k
+            continue
+        lhs = mlhs.group(1)
+        pre = so_far[: mlhs.start()]
+        neg = False
+        mnot = re.search(r"(?i)\bNOT\s*$", pre)
+        # `x NOT IN (...)` places NOT before IN, not before the LHS —
+        # match the form `LHS NOT IN` by looking between LHS and IN
+        # (our scanner consumed `IN` right after whitespace, so a NOT
+        # directly before IN would have been part of `so_far`)
+        if mnot:
+            neg = True
+            pre = pre[: mnot.start()]
+        def as_num(e: str) -> str:
+            # Spark parses `1.0` as DECIMAL(2,1); the dialect reads it
+            # as a double (and _dialect_str's float rendering keys off
+            # typeof) — normalize fractional literals
+            if re.match(r"^\s*[-+]?(\d+\.\d*|\.\d+)([eE][-+]?\d+)?\s*$", e):
+                return f"CAST({e} AS DOUBLE)"
+            return e
+
+        cmps = []
+        for e in elems:
+            ke = stringness(e)
+            if klhs and ke is False:
+                cmps.append(f"({_dialect_str(as_num(e))} = {lhs})")
+            elif ke and klhs is False:
+                cmps.append(f"({_dialect_str(as_num(lhs))} = {e})")
+            else:
+                cmps.append(f"(({lhs}) = ({e}))")
+        chain = " OR ".join(cmps)
+        repl = f"(NOT ({chain}))" if neg else f"({chain})"
+        out = [pre, repl]
+        i = k
+    return "".join(out)
+
+
 def _rewrite_cmp_coercions(sql: str, df: DataFrame) -> str:
     """Dialect implicit casts in column-vs-column comparisons
     (expression/test_predicate.yaml): string vs anything compares
@@ -1155,6 +1308,68 @@ class SqlEngine:
         self.tables[name.lower()] = df
         if index_ts:
             self.index_ts[name.lower()] = index_ts
+
+    def register_py_udf(self, name: str, fn) -> None:
+        """Pre-bind a Python callable that a later SQL
+        ``CREATE FUNCTION name(...)`` statement (without FILE=) will
+        register — the engine's stand-in for the reference's dynamic
+        .so libraries (docs/en/openmldb_sql/udf_develop_guide.md)."""
+        if not hasattr(self, "_py_udfs"):
+            self._py_udfs = {}
+        self._py_udfs[name.lower()] = fn
+
+    def _ddl_create_function(self, q: str) -> DataFrame:
+        """``CREATE [AGGREGATE] FUNCTION name(arg TYPE, …) RETURNS TYPE
+        [OPTIONS (FILE='impl.py'[, SYMBOL='fn'])]`` — the SQL UDF
+        registration surface (reference ddl/CREATE_FUNCTION.md;
+        offline registration SparkPlanner.scala:350-388). Instead of a
+        C++ .so, the implementation is a Python callable: either loaded
+        from the OPTIONS FILE (a .py module; SYMBOL defaults to the
+        function name) or pre-bound via ``register_py_udf``. AGGREGATE
+        functions register as Arrow-batched grouped-agg pandas UDFs
+        (callable takes pandas Series → scalar)."""
+        m = re.match(
+            r"(?is)^CREATE\s+(AGGREGATE\s+)?FUNCTION\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+            r"(\w+)\s*\((.*?)\)\s*RETURNS\s+(\w+)\s*(?:OPTIONS\s*\((.*)\))?\s*$", q)
+        if not m:
+            raise ValueError(f"unsupported CREATE FUNCTION form: {q!r}")
+        aggregate = bool(m.group(1))
+        name = m.group(2)
+        ret = m.group(4).strip().lower()
+        ret_type = self._DDL_TYPES.get(ret, ret)
+        opts: dict[str, str] = {}
+        for mo in re.finditer(r"(\w+)\s*=\s*(?:'([^']*)'|\"([^\"]*)\"|(\S+))",
+                              m.group(5) or ""):
+            opts[mo.group(1).lower()] = mo.group(2) or mo.group(3) or mo.group(4)
+        file = opts.get("file")
+        symbol = opts.get("symbol", name)
+        fn = None
+        if file:
+            if not file.endswith(".py"):
+                raise ValueError(
+                    f"CREATE FUNCTION {name}: native libraries ({file!r}) are "
+                    f"not loadable in the PySpark engine — point FILE= at a "
+                    f".py module or pre-register with register_py_udf()")
+            import importlib.util
+
+            spec = importlib.util.spec_from_file_location(f"omldb_udf_{name}", file)
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            fn = getattr(mod, symbol)
+        else:
+            fn = getattr(self, "_py_udfs", {}).get(name.lower())
+        if fn is None:
+            raise ValueError(
+                f"CREATE FUNCTION {name}: no implementation — pass "
+                f"OPTIONS (FILE='impl.py') or register_py_udf({name!r}, fn) first")
+        if aggregate:
+            from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+            self.spark.udf.register(
+                name, pandas_udf(fn, ret_type, PandasUDFType.GROUPED_AGG))
+        else:
+            self.spark.udf.register(name, fn, ret_type)
+        return self.spark.range(0).select(F.lit(name).alias("function"))
 
     def _table(self, name: str) -> DataFrame:
         n = name.lower()
@@ -1398,6 +1613,8 @@ class SqlEngine:
         q = _strip_hash_comments(q)
         if re.match(r"(?is)^CREATE\s+TABLE\b", q):
             return self._ddl_create(q)
+        if re.match(r"(?is)^CREATE\s+(AGGREGATE\s+)?FUNCTION\b", q):
+            return self._ddl_create_function(q)
         if re.match(r"(?is)^INSERT\s+INTO\b", q):
             return self._ddl_insert(q)
         # a fully parenthesized statement is its inner statement
@@ -1838,6 +2055,9 @@ class SqlEngine:
             f.name for f in df.schema.fields
             if isinstance(f.dataType, (T.ShortType, T.IntegerType, T.LongType))
         }
+        # before the string-blind code rewrites: IN-list membership over
+        # mixed string/non-string operands needs the literals in view
+        text = _rewrite_in_lists(text, df)
 
         def code_rewrites(s: str) -> str:
             s = _rewrite_bool_arith(s, bool_cols)

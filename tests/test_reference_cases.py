@@ -76,12 +76,9 @@ KNOWN_DIVERGENCES = {
     ("union_query.yml", "1"): "unordered LAST JOIN on index-less union subquery (storage-order defined)",
     ("union_query.yml", "5"): "bare column through WINDOW UNION subquery",
 }
-# parametrized families excluded by prefix (dialect NULL-semantics of
-# IN-lists with NULL members differs from Spark's three-valued logic)
-KNOWN_PREFIXES = {
-    ("simple_query.yaml", "in_predicate"): "IN/NOT IN NULL-member semantics",
-    ("test_like_match.yaml", "28["): "multi-character ESCAPE string: reference rejects the match, engine treats the escape as inert",
-}
+# parametrized families excluded by prefix — both round-3 entries
+# (in_predicate coercions, multi-char ESCAPE) are now implemented
+KNOWN_PREFIXES: dict = {}
 
 
 @pytest.mark.parametrize("path", FILES, ids=[f.rsplit("/", 1)[-1] for f in FILES])
