@@ -55,10 +55,12 @@ def q_rows_range_window(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     spec = WindowSpec(["user_id"], "ts", "rows_range", 600_000, tiebreak=["event_id"])
+    # auto now routes to the tie-corrected native ROWS_RANGE plan
+    # (cum-minus-before along buffer order): zero Python, one exchange
     out = window_agg(ev, spec, [
         Agg("count", "value", "cnt_10m"),
         Agg("sum", "value", "sum_10m"),
-    ], impl="kernel")
+    ], impl="auto")
     return out.select("event_id", "user_id", "cnt_10m", _r6("sum_10m").alias("sum_10m"))
 
 
@@ -160,7 +162,7 @@ def q_where_window(spark, sf_dir):
     out = window_agg(ev, spec, [
         Agg("count_where", "value", "cw", cond="big"),
         Agg("sum_where", "value", "sw", cond="big"),
-    ], impl="kernel")
+    ], impl="auto")
     return out.select("event_id", "user_id", "cw", _r6("sw").alias("sw"))
 
 

@@ -151,8 +151,15 @@ def main() -> None:
     # q3 — native rolling windows on events (pure Catalyst path)
     queries["rows_window_native"] = _run(em.q_rows_window(spark, sf_dir))
 
-    # q4 — kernel ROWS_RANGE on events
-    queries["rows_range_kernel"] = _run(em.q_rows_range_window(spark, sf_dir))
+    # q4 — kernel ROWS_RANGE on events (the Arrow-kernel reference point)
+    ev0 = spark.read.parquet(f"{sf_dir}/events.parquet")
+    spec_rr = WindowSpec(["user_id"], "ts", "rows_range", 600_000, tiebreak=["event_id"])
+    rr_aggs = [Agg("count", "value", "cnt_10m"), Agg("sum", "value", "sum_10m")]
+    queries["rows_range_kernel"] = _run(window_agg(ev0, spec_rr, rr_aggs, impl="kernel"))
+
+    # q4b — same query on the tie-corrected native ROWS_RANGE plan
+    # (cum-minus-before along buffer order; zero Python, one exchange)
+    queries["rows_range_native"] = _run(window_agg(ev0, spec_rr, rr_aggs, impl="native"))
 
     # q5 — as-of LAST JOIN on events (merge_asof path)
     queries["last_join_asof"] = _run(em.q_last_join_asof(spark, sf_dir))

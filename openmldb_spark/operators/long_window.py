@@ -125,7 +125,9 @@ def rewrite_unbounded_distinct_count(
     from openmldb_spark.operators.window import _default_lit
 
     order_cols = [F.col(spec.order_by)] + [F.col(c) for c in spec.tiebreak]
-    out = df
+    # NULL-order rows must not claim a first occurrence (they're
+    # outside every frame); drop before computing indicators
+    out = df.filter(F.col(spec.order_by).isNotNull())
     new_aggs: list[Agg] = []
     for i, a in enumerate(aggs):
         if a not in dcs:
@@ -172,6 +174,9 @@ def long_window_agg(
                          f"use window_agg/window_agg_skewed")
 
     keys = list(spec.partition_by)
+    # NULL order keys: skipped rows in reference buffer semantics
+    # (neither emitted nor in frames) — same rule as the kernel
+    df = df.filter(F.col(spec.order_by).isNotNull())
     work = df.withColumn(_B, (_order_ms(df, spec.order_by) / F.lit(int(bucket_ms))).cast("long"))
 
     # per-aggregate masked source column (``*_where`` masks with cond)

@@ -371,8 +371,16 @@ def _native_expressible(spec: WindowSpec, aggs: list[Agg], union,
                 return False
     if spec.frame == "rows_range" and not spec.assume_unique_order:
         # ANSI RANGE includes same-key peers *after* the current row;
-        # the reference's buffer-order semantics does not.
-        return False
+        # the reference's buffer-order semantics does not. For
+        # prefix-invertible aggregates the native path subtracts a
+        # cumulative-before-range term along the (order, tiebreak)
+        # buffer order instead (_native_window_agg tie correction) —
+        # that needs a tiebreak to define the buffer order, and only
+        # covers sum/count/avg (+_where) and positional lag.
+        correctable = {"sum", "count", "avg",
+                       "sum_where", "count_where", "avg_where", "lag"}
+        if not spec.tiebreak or any(a.func not in correctable for a in aggs):
+            return False
     return True
 
 
@@ -454,6 +462,10 @@ def _native_distinct_count_rows(df: DataFrame, spec: WindowSpec, agg: Agg,
 
 
 def _native_window_agg(df: DataFrame, spec: WindowSpec, aggs: list[Agg]) -> DataFrame:
+    # reference buffer semantics: rows with a NULL order key are
+    # neither emitted nor part of any frame (the kernel's NULL-order
+    # skip) — drop them up front so the native plans agree
+    df = df.filter(F.col(spec.order_by).isNotNull())
     orig_cols = list(df.columns)
     order_cols = [F.col(spec.order_by)] + [F.col(c) for c in spec.tiebreak]
     prec = Window.unboundedPreceding if spec.preceding is None else -int(spec.preceding)
@@ -463,11 +475,49 @@ def _native_window_agg(df: DataFrame, spec: WindowSpec, aggs: list[Agg]) -> Data
             .orderBy(*order_cols)
             .rowsBetween(prec, 0)
         )
-    else:
+    tie_corr = False
+    w_buf = w_before = None
+    if spec.frame != "rows":
         ms = "__order_ms__"
         df = df.withColumn(ms, _order_ms_col(df, spec.order_by))
         w = Window.partitionBy(*spec.partition_by).orderBy(ms).rangeBetween(prec, 0)
+        if not spec.assume_unique_order:
+            # buffer-order tie correction: ANSI RANGE would include
+            # same-ms peers AFTER the current row. For prefix-invertible
+            # aggregates compute instead
+            #   frame(i) = cum_{buffer order}(i) - before(ms < ms_i - p)
+            # Both windows share the (keys) exchange and ONE sort: the
+            # (ms, tiebreak) sort satisfies the before-window's (ms)
+            # ordering requirement — zero extra shuffles, zero Python.
+            tie_corr = True
+            w_buf = (Window.partitionBy(*spec.partition_by)
+                     .orderBy(F.col(ms), *[F.col(c) for c in spec.tiebreak])
+                     .rowsBetween(Window.unboundedPreceding, 0))
+            if spec.preceding is not None:
+                w_before = (Window.partitionBy(*spec.partition_by)
+                            .orderBy(ms)
+                            .rangeBetween(Window.unboundedPreceding,
+                                          -(int(spec.preceding) + 1)))
     w_lag = Window.partitionBy(*spec.partition_by).orderBy(*order_cols)
+
+    def _corrected(fn: str, src: Column | None):
+        """sum/count/avg over the buffer-order ROWS_RANGE frame as
+        cumulative minus before-range (floating error is O(|cum| · ulp),
+        negligible beside the dialect's 6-dp comparisons)."""
+        s = src if src is not None else F.lit(1)
+        if fn == "count":
+            e = F.count(s).over(w_buf)
+            if w_before is not None:
+                e = e - F.count(s).over(w_before)
+            return e
+        cum_s, cum_c = F.sum(s).over(w_buf), F.count(s).over(w_buf)
+        bef_s = F.lit(None) if w_before is None else F.sum(s).over(w_before)
+        bef_c = F.lit(0) if w_before is None else F.count(s).over(w_before)
+        cnt = cum_c - bef_c
+        total = cum_s - F.coalesce(bef_s, F.lit(0))
+        if fn == "sum":
+            return F.when(cnt > 0, total)
+        return F.when(cnt > 0, total.cast("double") / cnt)  # avg
 
     out = df
     # exact distinct_count, native. Small frames: array_distinct over a
@@ -499,7 +549,7 @@ def _native_window_agg(df: DataFrame, spec: WindowSpec, aggs: list[Agg]) -> Data
             dt = df.schema[a.col].dataType
             bits = {T.ByteType: 8, T.ShortType: 16, T.IntegerType: 32}[type(dt)]
             src = F.when(F.col(a.cond), col) if a.func == "sum_where" else col
-            raw = F.sum(src).over(w)
+            raw = _corrected("sum", src) if tie_corr else F.sum(src).over(w)
             expr = (F.pmod(raw + F.lit(2 ** (bits - 1)), F.lit(2**bits)) - 2 ** (bits - 1)).cast(dt)
         else:
             src = col
@@ -508,22 +558,26 @@ def _native_window_agg(df: DataFrame, spec: WindowSpec, aggs: list[Agg]) -> Data
                 fn = fn[: -len("_where")]
                 src = F.when(F.col(a.cond), col if col is not None else F.lit(1))
                 if fn == "count":
-                    expr = F.count(src).over(w)
+                    expr = _corrected("count", src) if tie_corr \
+                        else F.count(src).over(w)
                     out = out.withColumn(a.name, expr)
                     continue
-            base = {
-                "sum": F.sum,
-                "count": (F.count if a.col else (lambda _: F.count(F.lit(1)))),
-                "avg": F.avg,
-                "min": F.min,
-                "max": F.max,
-                "stddev": F.stddev_samp,
-                "stddev_pop": F.stddev_pop,
-                "var": F.var_samp,
-                "var_pop": F.var_pop,
-                "median": F.median,
-            }[fn]
-            expr = base(src if src is not None else F.lit(1)).over(w)
+            if tie_corr and fn in ("sum", "count", "avg"):
+                expr = _corrected(fn, src)
+            else:
+                base = {
+                    "sum": F.sum,
+                    "count": (F.count if a.col else (lambda _: F.count(F.lit(1)))),
+                    "avg": F.avg,
+                    "min": F.min,
+                    "max": F.max,
+                    "stddev": F.stddev_samp,
+                    "stddev_pop": F.stddev_pop,
+                    "var": F.var_samp,
+                    "var_pop": F.var_pop,
+                    "median": F.median,
+                }[fn]
+                expr = base(src if src is not None else F.lit(1)).over(w)
         out = out.withColumn(a.name, expr)
     return out.select(*orig_cols, *[a.name for a in aggs])
 

@@ -22,6 +22,7 @@ EXPECTED_QUERIES = {
     "long_window_preagg",
     "rows_window_native",
     "rows_range_kernel",
+    "rows_range_native",
     "last_join_asof",
     "sessionize",
     "group_agg",

@@ -44,7 +44,9 @@ def test_unbounded_rows_range_dc_routes_native(spark):
         Agg("distinct_count", "event_type", "dt"),
     ]
     out = window_agg_skewed(ev, spec, aggs, quantiles=4, hot_threshold=50)
-    assert "Python" not in _plan(out), "unbounded dc should be zero-Python"
+    p = _plan(out)
+    assert "Python" not in p and "InPandas" not in p, \
+        "unbounded dc should be zero-Python"
     cols = ["event_id", "cnt", "s", "dt"]
     got = _rows(out, cols)
     want = _rows(window_agg(ev, spec, aggs, impl="kernel"), cols)
@@ -64,7 +66,8 @@ def test_unbounded_dc_null_counts_type_default(spark):
     df = spark.createDataFrame(rows, "k string, ts long, v string")
     spec = WindowSpec(["k"], "ts", "rows", None)
     out = window_agg(df, spec, [Agg("distinct_count", "v", "dc")])
-    assert "Python" not in _plan(out)
+    p2 = _plan(out)
+    assert "Python" not in p2 and "InPandas" not in p2
     got = {r["ts"]: r["dc"] for r in out.collect()}
     # ts=0: {a} → 1; ts=1: {a, ''} → 2; stays 2 afterwards
     assert got == {0: 1, 1: 2, 2: 2, 3: 2, 4: 2, 5: 2}
