@@ -85,7 +85,7 @@ def q_window_exclude_current_time(spark, sf_dir):
     out = window_agg(ev, spec, [
         Agg("count", "value", "cnt_ect"),
         Agg("sum", "value", "sum_ect"),
-    ], impl="kernel")
+    ], impl="auto")  # native ECT plan: strict range + current row
     return out.select("event_id", "user_id", "cnt_ect", _r6("sum_ect").alias("sum_ect"))
 
 
@@ -98,7 +98,7 @@ def q_window_open_preceding(spark, sf_dir):
     out = window_agg(ev, spec, [
         Agg("count", "value", "cnt_op"),
         Agg("sum", "value", "sum_op"),
-    ], impl="kernel")
+    ], impl="auto")  # native OPEN-start range plan
     return out.select("event_id", "user_id", "cnt_op", _r6("sum_op").alias("sum_op"))
 
 
@@ -110,7 +110,7 @@ def q_rows_between(spark, sf_dir):
     out = window_agg(ev, spec, [
         Agg("count", "value", "cnt_b"),
         Agg("sum", "value", "sum_b"),
-    ], impl="kernel")
+    ], impl="auto")  # native end-offset ROWS frame
     return out.select("event_id", "user_id", "cnt_b", _r6("sum_b").alias("sum_b"))
 
 

@@ -343,22 +343,110 @@ def _slim_join_back(df: DataFrame, spec: WindowSpec, aggs: list[Agg],
     return out.select(*df.columns, *[a.name for a in aggs])
 
 
+_CORRECTABLE = {"sum", "count", "avg", "sum_where", "count_where", "avg_where"}
+_COMBINABLE = _CORRECTABLE | {"min", "max", "min_where", "max_where"}
+
+
+def _native_frame_info(spec: WindowSpec) -> dict | None:
+    """Classify a frame for the native (pure-Catalyst) evaluator.
+
+    Returns None when the shape is structurally kernel-only
+    (MAXSIZE / INSTANCE_NOT_IN_WINDOW / ROWS+EXCLUDE CURRENT_TIME /
+    degenerate bounds), else a dict:
+
+    - mode 'exact': a plain ANSI rows/range window over (lower, upper)
+      IS the buffer-order frame — every aggregate is exact. True for
+      all ROWS shapes (the (order, tiebreak) sort realizes buffer
+      order) and for ROWS_RANGE frames whose end bound sits strictly
+      below the current ts (ties only matter AT the current ts).
+    - mode 'ect_cur': ROWS_RANGE EXCLUDE CURRENT_TIME — a strict
+      range (lower, -1) plus the current row, combinable for
+      sum/count/avg/min/max (+_where).
+    - mode 'tie': ROWS_RANGE frames whose end includes the current
+      ts — cum(buffer order) − before(range start), prefix-invertible
+      aggregates only (sum/count/avg ± _where); needs a tiebreak.
+    """
+    if spec.maxsize or spec.instance_not_in_window:
+        return None
+    p = None if spec.preceding is None else int(spec.preceding)
+    has_end = bool(spec.end_preceding) or spec.end_is_offset
+    e_eff = (int(spec.end_preceding) + (1 if spec.open_end else 0)) if has_end else 0
+    lower = None if p is None else -(p - (1 if spec.open_preceding else 0))
+    if spec.frame == "rows":
+        if spec.exclude_current_time:
+            return None  # frame anchors at the first same-ts row
+        if has_end and e_eff > 0:
+            upper = -e_eff
+        else:
+            # non-positive end offsets cap at the current row
+            upper = -1 if spec.exclude_current_row else 0
+        if lower is not None and lower > upper:
+            return None  # degenerate (negative PRECEDING etc.)
+        return {"mode": "exact", "lower": lower, "upper": upper,
+                "plain": not has_end and not spec.exclude_current_row
+                and not spec.open_preceding}
+    # rows_range (ms offsets)
+    if has_end and e_eff > 0:
+        # end strictly below current ts: ECT is a no-op, ties at the
+        # bound are all earlier buffer positions — plain range is exact
+        if lower is not None and lower > -e_eff:
+            return None
+        return {"mode": "exact", "lower": lower, "upper": -e_eff, "plain": False}
+    if spec.exclude_current_time:
+        if lower is not None and lower > -1:
+            return None
+        if spec.exclude_current_row or (has_end and e_eff == 0):
+            return {"mode": "exact", "lower": lower, "upper": -1, "plain": False}
+        return {"mode": "ect_cur", "lower": lower, "upper": -1, "plain": False}
+    # end bound includes the current ts (plain, OPEN-end-at-0,
+    # e == 0 offset end, or negative end offsets which cap at the
+    # current position)
+    include_cur = not (has_end and int(spec.end_preceding) == 0
+                      and not spec.open_end)
+    if spec.exclude_current_row and not (has_end and e_eff < 0):
+        include_cur = False
+    if spec.assume_unique_order:
+        upper = 0 if include_cur else -1
+        if lower is not None and lower > upper:
+            return None
+        return {"mode": "exact", "lower": lower, "upper": upper, "plain": False}
+    if lower is not None and lower > 0:
+        return None
+    return {"mode": "tie", "lower": lower, "upper": None,
+            "include_cur": include_cur, "plain": False}
+
+
 def _native_expressible(spec: WindowSpec, aggs: list[Agg], union,
                         df: DataFrame | None = None) -> bool:
-    if union or spec.maxsize or spec.open_preceding or spec.exclude_current_time \
-            or spec.exclude_current_row or spec.instance_not_in_window \
-            or spec.end_preceding or spec.end_is_offset or spec.open_end:
+    if union:
+        return False
+    info = _native_frame_info(spec)
+    if info is None:
         return False
     if any(a.func not in _NATIVE_OK for a in aggs):
         return False
     if any(a.pair is not None or a.cond_pair is not None for a in aggs):
         return False  # anchor-pair semantics are kernel-only
-    # Spark's median rejects window frames entirely; exact
-    # distinct_count has a native (event-difference) form for ROWS
-    # frames only (_native_distinct_count_rows)
+    if any(a.split is not None for a in aggs):
+        return False  # feature-zero list aggregates are kernel-only
+    # Spark's median rejects window frames entirely
     if any(a.func == "median" for a in aggs):
         return False
-    if any(a.func == "distinct_count" for a in aggs) and spec.frame != "rows":
+    for a in aggs:
+        if a.func != "distinct_count":
+            continue
+        # exact dc: small-frame collect_list works over any exact ROWS
+        # frame; the event-difference plan assumes the plain
+        # [rn-n, rn] shape
+        if spec.frame != "rows":
+            return False
+        small = spec.preceding is not None and int(spec.preceding) <= 256
+        if not (info["plain"] or small):
+            return False
+    if spec.exclude_current_time and any(a.func == "lag" for a in aggs):
+        # under EXCLUDE CURRENT_TIME the reference buffer holds no
+        # same-ts rows, so lag anchors before the current tie run —
+        # positional, kernel-only
         return False
     if df is not None:
         # dialect sums/avgs timestamps and dates in ms space (result is
@@ -369,17 +457,14 @@ def _native_expressible(spec: WindowSpec, aggs: list[Agg], union,
             if base in ("sum", "avg") and a.col is not None \
                     and isinstance(df.schema[a.col].dataType, tdt):
                 return False
-    if spec.frame == "rows_range" and not spec.assume_unique_order:
-        # ANSI RANGE includes same-key peers *after* the current row;
-        # the reference's buffer-order semantics does not. For
-        # prefix-invertible aggregates the native path subtracts a
-        # cumulative-before-range term along the (order, tiebreak)
-        # buffer order instead (_native_window_agg tie correction) —
-        # that needs a tiebreak to define the buffer order, and only
-        # covers sum/count/avg (+_where) and positional lag.
-        correctable = {"sum", "count", "avg",
-                       "sum_where", "count_where", "avg_where", "lag"}
-        if not spec.tiebreak or any(a.func not in correctable for a in aggs):
+    if info["mode"] == "ect_cur":
+        if any(a.func not in _COMBINABLE and a.func != "lag" for a in aggs):
+            return False
+    if info["mode"] == "tie":
+        # cum-minus-before needs prefix-invertible aggregates and a
+        # tiebreak to define the buffer order among current-ts ties
+        if not spec.tiebreak \
+                or any(a.func not in _CORRECTABLE and a.func != "lag" for a in aggs):
             return False
     return True
 
@@ -467,38 +552,43 @@ def _native_window_agg(df: DataFrame, spec: WindowSpec, aggs: list[Agg]) -> Data
     # skip) — drop them up front so the native plans agree
     df = df.filter(F.col(spec.order_by).isNotNull())
     orig_cols = list(df.columns)
+    keys = list(spec.partition_by)
     order_cols = [F.col(spec.order_by)] + [F.col(c) for c in spec.tiebreak]
-    prec = Window.unboundedPreceding if spec.preceding is None else -int(spec.preceding)
+    info = _native_frame_info(spec)
+    if info is None:
+        raise ValueError("frame shape is not natively expressible; use impl='kernel'")
+    mode, lower, upper = info["mode"], info["lower"], info["upper"]
+    lo_bound = Window.unboundedPreceding if lower is None else lower
+
+    w = w_rng = w_buf = w_before = None
     if spec.frame == "rows":
-        w = (
-            Window.partitionBy(*spec.partition_by)
-            .orderBy(*order_cols)
-            .rowsBetween(prec, 0)
-        )
-    tie_corr = False
-    w_buf = w_before = None
-    if spec.frame != "rows":
+        # the (order, tiebreak) sort realizes buffer order exactly, so
+        # ANSI row offsets express every ROWS shape (end-offset bounds,
+        # OPEN start, EXCLUDE CURRENT_ROW) directly
+        w = Window.partitionBy(*keys).orderBy(*order_cols).rowsBetween(lo_bound, upper)
+    else:
         ms = "__order_ms__"
         df = df.withColumn(ms, _order_ms_col(df, spec.order_by))
-        w = Window.partitionBy(*spec.partition_by).orderBy(ms).rangeBetween(prec, 0)
-        if not spec.assume_unique_order:
-            # buffer-order tie correction: ANSI RANGE would include
-            # same-ms peers AFTER the current row. For prefix-invertible
-            # aggregates compute instead
+        if mode == "exact":
+            w = Window.partitionBy(*keys).orderBy(ms).rangeBetween(lo_bound, upper)
+        elif mode == "ect_cur":
+            # EXCLUDE CURRENT_TIME: strict range below the current ts,
+            # the current row folded in per-aggregate
+            w_rng = Window.partitionBy(*keys).orderBy(ms).rangeBetween(lo_bound, -1)
+        else:  # 'tie' — buffer-order correction: ANSI RANGE would
+            # include same-ms peers AFTER the current row. Compute
             #   frame(i) = cum_{buffer order}(i) - before(ms < ms_i - p)
             # Both windows share the (keys) exchange and ONE sort: the
             # (ms, tiebreak) sort satisfies the before-window's (ms)
             # ordering requirement — zero extra shuffles, zero Python.
-            tie_corr = True
-            w_buf = (Window.partitionBy(*spec.partition_by)
+            w_buf = (Window.partitionBy(*keys)
                      .orderBy(F.col(ms), *[F.col(c) for c in spec.tiebreak])
-                     .rowsBetween(Window.unboundedPreceding, 0))
-            if spec.preceding is not None:
-                w_before = (Window.partitionBy(*spec.partition_by)
-                            .orderBy(ms)
-                            .rangeBetween(Window.unboundedPreceding,
-                                          -(int(spec.preceding) + 1)))
-    w_lag = Window.partitionBy(*spec.partition_by).orderBy(*order_cols)
+                     .rowsBetween(Window.unboundedPreceding,
+                                  0 if info["include_cur"] else -1))
+            if lower is not None:
+                w_before = (Window.partitionBy(*keys).orderBy(ms)
+                            .rangeBetween(Window.unboundedPreceding, lower - 1))
+    w_lag = Window.partitionBy(*keys).orderBy(*order_cols)
 
     def _corrected(fn: str, src: Column | None):
         """sum/count/avg over the buffer-order ROWS_RANGE frame as
@@ -519,11 +609,48 @@ def _native_window_agg(df: DataFrame, spec: WindowSpec, aggs: list[Agg]) -> Data
             return F.when(cnt > 0, total)
         return F.when(cnt > 0, total.cast("double") / cnt)  # avg
 
+    def _ect_cur_agg(fn: str, src: Column | None):
+        """EXCLUDE CURRENT_TIME frame = strict-below range + current
+        row; sum/count/avg add the current contribution, min/max fold
+        it with least/greatest (both skip NULLs)."""
+        s = src if src is not None else F.lit(1)
+        cnt = F.count(s).over(w_rng) + F.when(s.isNotNull(), F.lit(1)).otherwise(F.lit(0))
+        if fn == "count":
+            return cnt
+        if fn in ("min", "max"):
+            rngv = (F.min if fn == "min" else F.max)(s).over(w_rng)
+            return (F.least if fn == "min" else F.greatest)(rngv, s)
+        total = F.coalesce(F.sum(s).over(w_rng), F.lit(0)) + F.coalesce(s, F.lit(0))
+        if fn == "sum":
+            return F.when(cnt > 0, total)
+        return F.when(cnt > 0, total.cast("double") / cnt)  # avg
+
+    def _dispatch(fn: str, src: Column | None):
+        if mode == "tie":
+            return _corrected(fn, src)
+        if mode == "ect_cur":
+            return _ect_cur_agg(fn, src)
+        base = {
+            "sum": F.sum,
+            "count": F.count,
+            "avg": F.avg,
+            "min": F.min,
+            "max": F.max,
+            "stddev": F.stddev_samp,
+            "stddev_pop": F.stddev_pop,
+            "var": F.var_samp,
+            "var_pop": F.var_pop,
+            "median": F.median,
+        }[fn]
+        return base(src if src is not None else F.lit(1)).over(w)
+
     out = df
-    # exact distinct_count, native. Small frames: array_distinct over a
-    # collect_list on the SAME window — zero extra shuffles, the whole
-    # aggregate list shares one sort. Large/unbounded frames: the
-    # event-difference plan (O(rows), ~2 extra narrow shuffles).
+    # exact distinct_count, native (ROWS frames — gate-guaranteed).
+    # Small frames: array_distinct over a collect_list on the SAME
+    # window — zero extra shuffles, the whole aggregate list shares one
+    # sort; works for any exact ROWS shape since w IS the frame.
+    # Large/unbounded plain frames: the event-difference plan (O(rows),
+    # ~2 extra narrow shuffles).
     small_dc = spec.preceding is not None and int(spec.preceding) <= 256
     dcs = [] if small_dc else [a for a in aggs if a.func == "distinct_count"]
     if dcs:
@@ -549,7 +676,7 @@ def _native_window_agg(df: DataFrame, spec: WindowSpec, aggs: list[Agg]) -> Data
             dt = df.schema[a.col].dataType
             bits = {T.ByteType: 8, T.ShortType: 16, T.IntegerType: 32}[type(dt)]
             src = F.when(F.col(a.cond), col) if a.func == "sum_where" else col
-            raw = _corrected("sum", src) if tie_corr else F.sum(src).over(w)
+            raw = _dispatch("sum", src)
             expr = (F.pmod(raw + F.lit(2 ** (bits - 1)), F.lit(2**bits)) - 2 ** (bits - 1)).cast(dt)
         else:
             src = col
@@ -557,27 +684,7 @@ def _native_window_agg(df: DataFrame, spec: WindowSpec, aggs: list[Agg]) -> Data
             if fn.endswith("_where"):
                 fn = fn[: -len("_where")]
                 src = F.when(F.col(a.cond), col if col is not None else F.lit(1))
-                if fn == "count":
-                    expr = _corrected("count", src) if tie_corr \
-                        else F.count(src).over(w)
-                    out = out.withColumn(a.name, expr)
-                    continue
-            if tie_corr and fn in ("sum", "count", "avg"):
-                expr = _corrected(fn, src)
-            else:
-                base = {
-                    "sum": F.sum,
-                    "count": (F.count if a.col else (lambda _: F.count(F.lit(1)))),
-                    "avg": F.avg,
-                    "min": F.min,
-                    "max": F.max,
-                    "stddev": F.stddev_samp,
-                    "stddev_pop": F.stddev_pop,
-                    "var": F.var_samp,
-                    "var_pop": F.var_pop,
-                    "median": F.median,
-                }[fn]
-                expr = base(src if src is not None else F.lit(1)).over(w)
+            expr = _dispatch(fn, src)
         out = out.withColumn(a.name, expr)
     return out.select(*orig_cols, *[a.name for a in aggs])
 
