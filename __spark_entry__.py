@@ -213,7 +213,7 @@ def q_first_value_window(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     spec = WindowSpec(["user_id"], "ts", "rows", 5, exclude_current_row=True,
                       tiebreak=["event_id"])
-    out = window_agg(ev, spec, [Agg("first_value", "value", "fv")], impl="kernel")
+    out = window_agg(ev, spec, [Agg("first_value", "value", "fv")], impl="auto")
     return out.select("event_id", "user_id", _r6("fv").alias("fv"))
 
 

@@ -165,7 +165,7 @@ _CATE = {f"{f}_cate" for f in ("sum", "avg", "count", "min", "max")}
 _CATE_WHERE = {f"{f}_where" for f in _CATE}
 _POSITIONAL = {"lag", "at", "first_value"}
 _GENERIC = {"entropy", "drawdown", "ew_avg", "top", "topn_frequency", "top1_ratio"}
-_NATIVE_OK = _ROLLING | _WHERE | {"lag", "distinct_count"}
+_NATIVE_OK = _ROLLING | _WHERE | {"lag", "at", "first_value", "distinct_count"}
 
 # top_n_key_*_cate_where / top_n_value_*_cate_where (+ the ratio forms
 # registered without the _where suffix) — hybridse agg_by_category_def.cc
@@ -443,10 +443,17 @@ def _native_expressible(spec: WindowSpec, aggs: list[Agg], union,
         small = spec.preceding is not None and int(spec.preceding) <= 256
         if not (info["plain"] or small):
             return False
-    if spec.exclude_current_time and any(a.func == "lag" for a in aggs):
+    if spec.exclude_current_time \
+            and any(a.func in ("lag", "at", "first_value") for a in aggs):
         # under EXCLUDE CURRENT_TIME the reference buffer holds no
-        # same-ts rows, so lag anchors before the current tie run —
-        # positional, kernel-only
+        # same-ts rows, so positional functions anchor before the
+        # current tie run — kernel-only
+        return False
+    if any(a.func == "first_value" for a in aggs) and spec.frame != "rows" \
+            and info["mode"] != "tie":
+        # ROWS_RANGE first_value (newest in frame) is positional only
+        # when the frame end includes the current ts; a strict ms end
+        # bound needs a range lookup the kernel does
         return False
     if df is not None:
         # dialect sums/avgs timestamps and dates in ms space (result is
@@ -458,13 +465,16 @@ def _native_expressible(spec: WindowSpec, aggs: list[Agg], union,
                     and isinstance(df.schema[a.col].dataType, tdt):
                 return False
     if info["mode"] == "ect_cur":
-        if any(a.func not in _COMBINABLE and a.func != "lag" for a in aggs):
+        if any(a.func not in _COMBINABLE and a.func not in ("lag", "at")
+               for a in aggs):
             return False
     if info["mode"] == "tie":
         # cum-minus-before needs prefix-invertible aggregates and a
         # tiebreak to define the buffer order among current-ts ties
         if not spec.tiebreak \
-                or any(a.func not in _CORRECTABLE and a.func != "lag" for a in aggs):
+                or any(a.func not in _CORRECTABLE
+                       and a.func not in ("lag", "at", "first_value")
+                       for a in aggs):
             return False
     return True
 
@@ -669,8 +679,15 @@ def _native_window_agg(df: DataFrame, spec: WindowSpec, aggs: list[Agg]) -> Data
                 out = out.withColumn(a.name, expr.cast("long"))
             continue
         col = F.col(a.col) if a.col else None
-        if a.func == "lag":
+        if a.func in ("lag", "at"):
             expr = F.lag(col, a.n).over(w_lag)
+        elif a.func == "first_value":
+            # newest row in the frame: the current row when the frame
+            # includes it, else the end-offset-th previous buffer row
+            if spec.frame == "rows":
+                expr = col if upper == 0 else F.lag(col, -upper).over(w_lag)
+            else:  # tie mode (gate-guaranteed)
+                expr = col if info["include_cur"] else F.lag(col, 1).over(w_lag)
         elif a.func in ("sum", "sum_where") and a.col and isinstance(df.schema[a.col].dataType, int_wrap):
             # integer sums wrap at input width (reference semantics)
             dt = df.schema[a.col].dataType

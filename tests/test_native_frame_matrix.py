@@ -48,6 +48,13 @@ CASES = [
     ("rr_open", WindowSpec(["k"], "ts", "rows_range", 8000, open_preceding=True, tiebreak=["i"]), CORR),
     ("rr_unb_ect", WindowSpec(["k"], "ts", "rows_range", None, exclude_current_time=True, tiebreak=["i"]), COMB),
     ("rr_neg_end", WindowSpec(["k"], "ts", "rows_range", 8000, end_preceding=-2000, tiebreak=["i"]), CORR),
+    # positional newest-in-frame + at (buffer-positional lag alias)
+    ("rows_fv_ocr", WindowSpec(["k"], "ts", "rows", 5, exclude_current_row=True, tiebreak=["i"]),
+     [Agg("first_value", "v", "fv"), Agg("at", "v", "a2", n=2)]),
+    ("rows_fv_end", WindowSpec(["k"], "ts", "rows", 8, end_preceding=3, tiebreak=["i"]),
+     [Agg("first_value", "v", "fv")]),
+    ("rr_fv_tie", WindowSpec(["k"], "ts", "rows_range", 8000, exclude_current_row=True, tiebreak=["i"]),
+     [Agg("first_value", "v", "fv"), Agg("sum", "v", "sm")]),
 ]
 
 
