@@ -236,7 +236,6 @@ def canonicalize_spec(spec: WindowSpec) -> WindowSpec:
         spec.frame == "rows_range"
         and spec.preceding is None
         and spec.end_preceding == 0
-        and not spec.maxsize
         and not spec.open_preceding
         and not spec.exclude_current_time
         and not spec.end_is_offset
@@ -244,7 +243,15 @@ def canonicalize_spec(spec: WindowSpec) -> WindowSpec:
     ):
         import dataclasses
 
-        return dataclasses.replace(spec, frame="rows")
+        if not spec.maxsize:
+            return dataclasses.replace(spec, frame="rows")
+        # UNBOUNDED + MAXSIZE m keeps exactly the newest m frame rows —
+        # identical to a ROWS frame of m rows (m-1 preceding + current,
+        # or m preceding under EXCLUDE CURRENT_ROW)
+        m = int(spec.maxsize)
+        return dataclasses.replace(
+            spec, frame="rows", maxsize=0,
+            preceding=m if spec.exclude_current_row else m - 1)
     return spec
 
 

@@ -73,6 +73,24 @@ def test_unbounded_dc_null_counts_type_default(spark):
     assert got == {0: 1, 1: 2, 2: 2, 3: 2, 4: 2, 5: 2}
 
 
+def test_unbounded_maxsize_canonicalizes_to_rows(spark):
+    """UNBOUNDED ROWS_RANGE + MAXSIZE m keeps exactly the newest m
+    frame rows — canonicalized to a ROWS frame and routed native."""
+    rows = [(f"k{k}", i, (i // 4) * 1000,
+             None if i % 7 == 0 else float(i % 13))
+            for k in range(3) for i in range(100)]
+    df = spark.createDataFrame(rows, "k string, i long, ts long, v double")
+    for ocr in (False, True):
+        spec = WindowSpec(["k"], "ts", "rows_range", None, maxsize=6,
+                          exclude_current_row=ocr, tiebreak=["i"])
+        aggs = [Agg("sum", "v", "sm"), Agg("count", "v", "c")]
+        nat = window_agg(df, spec, aggs, impl="auto")
+        assert "InPandas" not in _plan(nat)
+        cols = ["k", "i", "sm", "c"]
+        assert _rows(nat, cols) == _rows(
+            window_agg(df, spec, aggs, impl="kernel"), cols)
+
+
 def test_backfill_single_stats_job(spark, transcripts, conv_meta, monkeypatch):
     import openmldb_spark.operators.skew as skew_mod
     from openmldb_spark.operators.window import WindowSpec
