@@ -240,7 +240,7 @@ def q_window_union(spark, sf_dir):
     out = window_agg(primary, spec, [
         Agg("count", "value", "cnt_u"),
         Agg("sum", "value", "sum_u"),
-    ], union=[secondary], impl="kernel")
+    ], union=[secondary], impl="auto")  # native WINDOW UNION plan
     return out.select("event_id", "user_id", "cnt_u", _r6("sum_u").alias("sum_u"))
 
 

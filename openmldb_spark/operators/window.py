@@ -295,6 +295,19 @@ def window_agg(
             if long_window_eligible(spec, aggs2, union, df2):
                 out = long_window_agg(df2, spec, aggs2)
                 return out.select(*df.columns, *[a.name for a in aggs])
+        if union:
+            # WINDOW UNION natively: union rows only FEED frames, so
+            # the flag-tagged union evaluates on the same native plans
+            # with (-union) in the tie order (later-listed tables sort
+            # first at equal keys — with_flags contract) and primary
+            # rows filtered at the end. Zero Python when expressible.
+            combined = with_flags(df, union)
+            spec2 = replace(spec, tiebreak=("__negu__",) + tuple(spec.tiebreak))
+            if _native_expressible(spec2, aggs, None, combined):
+                combined = combined.withColumn("__negu__", -F.col(_UNION))
+                out = _native_window_agg(combined, spec2, aggs)
+                out = out.filter(F.col(_EMIT) == 1)
+                return out.select(*df.columns, *[a.name for a in aggs])
         impl = "native" if _native_expressible(spec, aggs, union, df) else "kernel"
     if impl == "native":
         if union:

@@ -97,6 +97,30 @@ def test_native_matches_kernel(tie_df, name, spec, aggs):
         assert all(_close(x, y) for x, y in zip(ra, rb)), (ra, rb)
 
 
+def test_native_window_union(spark, tie_df):
+    """WINDOW UNION on the native plans: union rows feed frames only,
+    later-listed tables sort first at equal keys (-union tie order),
+    primary rows filtered at the end — zero Python."""
+    u = tie_df.filter(F.col("i") % 2 == 0)
+    prim = tie_df.filter(F.col("i") % 2 == 1)
+    for spec in [
+        WindowSpec(["k"], "ts", "rows", 5, tiebreak=["i"]),
+        WindowSpec(["k"], "ts", "rows_range", 5000, tiebreak=["i"]),
+        WindowSpec(["k"], "ts", "rows_range", 5000, exclude_current_time=True,
+                   tiebreak=["i"]),
+    ]:
+        aggs = [Agg("sum", "v", "sm"), Agg("count", "v", "c")]
+        nat = window_agg(prim, spec, aggs, union=[u], impl="auto")
+        plan = nat._jdf.queryExecution().executedPlan().toString()
+        assert "InPandas" not in plan and "Python" not in plan
+        cols = ["k", "i", "sm", "c"]
+        got = _rows(nat, cols)
+        want = _rows(window_agg(prim, spec, aggs, union=[u], impl="kernel"), cols)
+        assert len(got) == len(want) > 0
+        for ra, rb in zip(got, want):
+            assert all(_close(x, y) for x, y in zip(ra, rb)), (spec.frame, ra, rb)
+
+
 def test_kernel_only_shapes_stay_gated(tie_df):
     # ROWS + EXCLUDE CURRENT_TIME anchors at the first same-ts row
     assert not _native_expressible(
