@@ -415,7 +415,11 @@ def _native_frame_info(spec: WindowSpec) -> dict | None:
     if spec.exclude_current_time:
         if lower is not None and lower > -1:
             return None
-        if spec.exclude_current_row or (has_end and e_eff == 0):
+        # an explicit end bound (any sign) suppresses the separate
+        # current-row add in the kernel (_frame_bounds: has_end →
+        # inc_cur = 0; ECT then caps the segment strictly below the
+        # current ts), so the frame is the plain strict range
+        if spec.exclude_current_row or has_end:
             return {"mode": "exact", "lower": lower, "upper": -1, "plain": False}
         return {"mode": "ect_cur", "lower": lower, "upper": -1, "plain": False}
     # end bound includes the current ts (plain, OPEN-end-at-0,
@@ -423,7 +427,10 @@ def _native_frame_info(spec: WindowSpec) -> dict | None:
     # current position)
     include_cur = not (has_end and int(spec.end_preceding) == 0
                       and not spec.open_end)
-    if spec.exclude_current_row and not (has_end and e_eff < 0):
+    # a negative raw end offset reaches past the current row; the
+    # buffer caps there and the current row joins the segment even
+    # under EXCLUDE CURRENT_ROW (kernel clamp_hi = idx for e < 0)
+    if spec.exclude_current_row and not (has_end and int(spec.end_preceding) < 0):
         include_cur = False
     if spec.assume_unique_order:
         upper = 0 if include_cur else -1

@@ -1,0 +1,77 @@
+"""Request-mode features (plans/request.py): point-in-time features
+for request rows against stored history — the batch analogue of the
+reference's online request mode (RequestUnion; survey §3.2).
+
+Checks: (1) equivalence with backfill_features on history ∪ requests
+when requests are isolated anchors (one per conv), (2) zero temporal
+leakage (a future history row never changes a request's features),
+(3) the decomposable-aggregate plan is zero-Python (native window
+union), (4) as-of enrichment at the request anchor."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from openmldb_spark.operators.window import Agg, WindowSpec
+from openmldb_spark.plans.backfill import AsOfSource, FeatureWindow, backfill_features
+from openmldb_spark.plans.request import request_features
+
+AGGS = [
+    Agg("count", None, "n_10"),
+    Agg("sum_where", "turn_idx", "tools_10", cond="__is_tool__"),
+    Agg("max", "turn_idx", "max_turn_10"),
+]
+
+
+def _fw():
+    return FeatureWindow(
+        spec=WindowSpec(["conv_id"], "ts", "rows", 10, tiebreak=["turn_idx"]),
+        aggs=AGGS,
+    )
+
+
+def _prep(df):
+    return df.withColumn("__is_tool__", F.col("role") == "tool")
+
+
+def test_request_matches_backfill_on_isolated_anchors(spark, transcripts, conv_meta):
+    # one request per conv: the newest turn, re-labelled as an incoming
+    # row (not part of history)
+    w_latest = F.row_number().over(
+        Window.partitionBy("conv_id").orderBy(F.desc("ts"), F.desc("turn_idx")))
+    tagged = transcripts.withColumn("__rn__", w_latest)
+    requests = _prep(tagged.filter(F.col("__rn__") == 1).drop("__rn__"))
+    history = _prep(tagged.filter(F.col("__rn__") > 1).drop("__rn__"))
+
+    got = request_features(
+        requests, history, "ts", [_fw()],
+        asof=[AsOfSource(conv_meta, on=["conv_id"], right_ts="ts", prefix="m_")],
+    )
+    want = backfill_features(
+        _prep(transcripts), "ts", [_fw()],
+        asof=[AsOfSource(conv_meta, on=["conv_id"], right_ts="ts", prefix="m_")],
+    )
+    keycols = ["conv_id", "turn_idx"]
+    feat = ["n_10", "tools_10", "max_turn_10", "m_model", "m_priority"]
+    g = {tuple(r[c] for c in keycols): tuple(r[c] for c in feat) for r in got.collect()}
+    req_keys = set(g)
+    w = {tuple(r[c] for c in keycols): tuple(r[c] for c in feat)
+         for r in want.collect() if tuple(r[c] for c in keycols) in req_keys}
+    assert len(g) == len(w) > 0
+    assert g == w
+
+
+def test_request_zero_leakage_and_native_plan(spark, transcripts):
+    requests = _prep(transcripts.filter(F.col("turn_idx") == 5))
+    history = _prep(transcripts.filter(F.col("turn_idx") != 5))
+    out = request_features(requests, history, "ts", [_fw()])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InPandas" not in plan and "Python" not in plan
+    base = {(r["conv_id"], r["turn_idx"]): (r["n_10"], r["tools_10"]) for r in out.collect()}
+
+    # adding FUTURE history (after every anchor) must not change anything
+    future = history.withColumn(
+        "ts", F.timestamp_millis(F.unix_millis("ts") + F.lit(10**10)))
+    out2 = request_features(requests, history.unionByName(future), "ts", [_fw()])
+    got2 = {(r["conv_id"], r["turn_idx"]): (r["n_10"], r["tools_10"]) for r in out2.collect()}
+    assert got2 == base
