@@ -184,7 +184,7 @@ def q_stat_windows(spark, sf_dir):
         Agg("stddev", "value", "sd"),
         Agg("var", "value", "vr"),
         Agg("median", "value", "med"),
-    ], impl="kernel")
+    ], impl="auto")  # native: stddev/var ANSI + small-frame sorted-list median
     # +1e-9 before rounding: the 2-decimal source data makes variance
     # values land exactly on .5 rounding boundaries, where engines'
     # half-rounding conventions differ

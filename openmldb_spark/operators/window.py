@@ -456,9 +456,15 @@ def _native_expressible(spec: WindowSpec, aggs: list[Agg], union,
         return False  # anchor-pair semantics are kernel-only
     if any(a.split is not None for a in aggs):
         return False  # feature-zero list aggregates are kernel-only
-    # Spark's median rejects window frames entirely
-    if any(a.func == "median" for a in aggs):
-        return False
+    # Spark's median rejects window frames entirely; small exact ROWS
+    # frames evaluate it natively as sorted-collect_list middles
+    # (shares the one sort like small-frame distinct_count)
+    for a in aggs:
+        if a.func == "median" and not (
+            spec.frame == "rows" and info["mode"] == "exact"
+            and spec.preceding is not None and int(spec.preceding) <= 256
+        ):
+            return False
     for a in aggs:
         if a.func != "distinct_count":
             continue
@@ -706,7 +712,16 @@ def _native_window_agg(df: DataFrame, spec: WindowSpec, aggs: list[Agg]) -> Data
                 out = out.withColumn(a.name, expr.cast("long"))
             continue
         col = F.col(a.col) if a.col else None
-        if a.func in ("lag", "at"):
+        if a.func == "median":
+            # exact small-ROWS-frame median (gate-guaranteed): sorted
+            # collect_list shares the frame's one sort; avg of the two
+            # middle elements (identical for odd sizes)
+            srt = F.array_sort(F.collect_list(col.cast("double")).over(w))
+            n = F.size(srt)
+            mid = (F.element_at(srt, ((n + 1) / 2).cast("int"))
+                   + F.element_at(srt, (n / 2 + 1).cast("int"))) / 2.0
+            expr = F.when(n > 0, mid)
+        elif a.func in ("lag", "at"):
             expr = F.lag(col, a.n).over(w_lag)
         elif a.func == "first_value":
             # newest row in the frame: the current row when the frame

@@ -48,6 +48,11 @@ CASES = [
     ("rr_open", WindowSpec(["k"], "ts", "rows_range", 8000, open_preceding=True, tiebreak=["i"]), CORR),
     ("rr_unb_ect", WindowSpec(["k"], "ts", "rows_range", None, exclude_current_time=True, tiebreak=["i"]), COMB),
     ("rr_neg_end", WindowSpec(["k"], "ts", "rows_range", 8000, end_preceding=-2000, tiebreak=["i"]), CORR),
+    # small-frame exact median (sorted-collect_list middles) + stats
+    ("rows_median", WindowSpec(["k"], "ts", "rows", 7, tiebreak=["i"]),
+     [Agg("median", "v", "md"), Agg("stddev", "v", "sd"), Agg("var", "v", "vr")]),
+    ("rows_median_end", WindowSpec(["k"], "ts", "rows", 9, end_preceding=2, tiebreak=["i"]),
+     [Agg("median", "v", "md")]),
     # positional newest-in-frame + at (buffer-positional lag alias)
     ("rows_fv_ocr", WindowSpec(["k"], "ts", "rows", 5, exclude_current_row=True, tiebreak=["i"]),
      [Agg("first_value", "v", "fv"), Agg("at", "v", "a2", n=2)]),
