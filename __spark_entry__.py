@@ -132,7 +132,7 @@ def q_distinct_count_window(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     spec = WindowSpec(["user_id"], "ts", "rows", 20, tiebreak=["event_id"])
-    out = window_agg(ev, spec, [Agg("distinct_count", "event_type", "dct")], impl="kernel")
+    out = window_agg(ev, spec, [Agg("distinct_count", "event_type", "dct")], impl="auto")  # native small-frame dc (shared-sort array_distinct)
     return out.select("event_id", "user_id", "dct")
 
 
