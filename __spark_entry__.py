@@ -460,6 +460,51 @@ def q_backfill_transcripts(spark, sf_dir):
     )
 
 
+def q_request_transcripts(spark, sf_dir):
+    """Request-mode features (plans/request.py — the reference's online
+    request mode as a batch surface): the newest turn of every conv is
+    the REQUEST row, everything earlier is stored history; features =
+    rows-10 window over history ∪ request (native WINDOW UNION plan)
+    + as-of meta join at the request anchor. Same LCG inputs as
+    backfill_transcripts, so the oracle regenerates them as CTEs and
+    checks full values."""
+    from pyspark.sql import Window
+
+    from openmldb_spark.data.lcg import generate_conv_meta_lcg, generate_transcripts_lcg
+    from openmldb_spark.operators.window import Agg, WindowSpec
+    from openmldb_spark.plans.backfill import AsOfSource, FeatureWindow
+    from openmldb_spark.plans.request import request_features
+
+    scale = _backfill_scale(sf_dir)
+    t = generate_transcripts_lcg(spark, n_convs=scale[0], avg_turns=scale[1], seed=42)
+    meta = generate_conv_meta_lcg(spark, n_convs=scale[0], seed=42)
+    t = t.withColumn("__is_tool__", F.col("role") == "tool")
+    rn = F.row_number().over(
+        Window.partitionBy("conv_id").orderBy(F.desc("ts"), F.desc("turn_idx")))
+    tagged = t.withColumn("__rn__", rn)
+    requests = tagged.filter(F.col("__rn__") == 1).drop("__rn__")
+    history = tagged.filter(F.col("__rn__") > 1).drop("__rn__")
+    fw = FeatureWindow(
+        spec=WindowSpec(["conv_id"], "ts", "rows", 10, tiebreak=["turn_idx"]),
+        aggs=[
+            Agg("count_where", "turn_idx", "n_tool_calls_10", cond="__is_tool__"),
+            Agg("distinct_count", "tool", "n_distinct_tools_10"),
+            Agg("lag", "tool", "prev_tool", n=1),
+        ],
+    )
+    out = request_features(
+        requests, history, "ts", [fw],
+        asof=[AsOfSource(meta, on=["conv_id"], right_ts="ts", prefix="m_")],
+    )
+    return out.select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.unix_millis("ts").alias("ts_ms"),
+        "n_tool_calls_10", "n_distinct_tools_10", "prev_tool",
+        F.unix_millis("m_ts").alias("m_ts_ms"),
+        "m_model", "m_channel", "m_priority",
+    )
+
+
 def q_nth_value_where_window(spark, sf_dir):
     """nth_value_where (window_functions_def.cc:283): 2nd matching row
     from the frame start, matches = event_type = 'click'."""
@@ -588,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "lsh_topk": q_lsh_topk,
         "backfill_transcripts": q_backfill_transcripts,
+        "request_transcripts": q_request_transcripts,
         "long_window_unbounded": q_long_window_unbounded,
         "nth_value_where_window": q_nth_value_where_window,
         "topn_cate_window": q_topn_cate_window,
@@ -945,6 +991,7 @@ def oracle_sql() -> dict[str, str]:
               AND region.r_regionkey < 3
         """,
         "backfill_transcripts": _backfill_oracle(),
+        "request_transcripts": _request_oracle(),
         "minhash_pairs": _MINHASH_ORACLE,
         "simhash_pairs": _SIMHASH_ORACLE,
         "lsh_topk": _lsh_oracle(),
@@ -1056,6 +1103,50 @@ def _lsh_oracle() -> str:
         SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine,
                CAST(rank AS BIGINT) AS rank
         FROM ranked WHERE rank <= 5
+    """
+
+
+def _request_oracle() -> str:
+    """Request-mode oracle: the request row is each conv's newest turn,
+    so its feature vector equals the backfill vector at that row —
+    same LCG CTEs, final select filtered to the max buffer position
+    per conv (no sessionize in request mode)."""
+    from openmldb_spark.data.lcg import duckdb_conv_meta_cte, duckdb_transcripts_cte
+
+    return f"""
+        WITH {duckdb_transcripts_cte(100, 80, 42)},
+        {duckdb_conv_meta_cte(100, 42)},
+        r AS (
+          SELECT conv_id, turn_idx, role, text, tool, ts_ms,
+                 ROW_NUMBER() OVER wo AS rn,
+                 COUNT(*) OVER wo AS n_conv,
+                 COUNT(CASE WHEN role = 'tool' THEN 1 END) OVER w10 AS n_tool_calls_10,
+                 LAG(tool) OVER wo AS prev_tool
+          FROM lcg_t
+          WINDOW wo AS (PARTITION BY conv_id ORDER BY ts_ms, turn_idx),
+                 w10 AS (PARTITION BY conv_id ORDER BY ts_ms, turn_idx
+                         ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)
+        ),
+        s AS (
+          SELECT r.*,
+            (SELECT COUNT(DISTINCT COALESCE(v.tool, '')) FROM r v
+               WHERE v.conv_id = r.conv_id
+                 AND v.rn BETWEEN r.rn - 10 AND r.rn) AS n_distinct_tools_10,
+            (SELECT MAX(v.rn) FROM r v WHERE v.conv_id = r.conv_id) AS max_rn
+          FROM r
+        )
+        SELECT s.conv_id, s.turn_idx, s.role, s.text, s.tool, s.ts_ms,
+               s.n_tool_calls_10, s.n_distinct_tools_10, s.prev_tool,
+               mm.m_ts_ms, mm.m_model, mm.m_channel, mm.m_priority
+        FROM s
+        LEFT JOIN LATERAL (
+          SELECT m.ts_ms AS m_ts_ms, m.model AS m_model,
+                 m.channel AS m_channel, m.priority AS m_priority
+          FROM lcg_meta m
+          WHERE m.conv_id = s.conv_id AND m.ts_ms <= s.ts_ms
+          ORDER BY m.ts_ms DESC LIMIT 1
+        ) mm ON TRUE
+        WHERE s.rn = s.max_rn
     """
 
 

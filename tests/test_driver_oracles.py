@@ -33,7 +33,8 @@ def _null_safe(t):
 
 
 @pytest.mark.parametrize(
-    "name", ["minhash_pairs", "simhash_pairs", "lsh_topk", "backfill_transcripts"]
+    "name", ["minhash_pairs", "simhash_pairs", "lsh_topk",
+             "backfill_transcripts", "request_transcripts"]
 )
 def test_oracle_matches(spark, duck, name):
     df = entry.queries()[name](spark, SF_DIR)
