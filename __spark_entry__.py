@@ -3,10 +3,13 @@
 ``queries()`` exposes one entry per implemented operator from
 SURVEY.md §2 (window frames, LAST JOIN, sessionization, group/filter/
 sort/union relational ops, skew-salted windows) plus the training-data
-pipeline ops (dedup, similarity, text analysis). ``oracle_sql()``
-carries the DuckDB-equivalent SQL; non-SQL-expressible ops (minhash/
-simhash candidate discovery, LSH ANN, transcript backfill) are
-rows-only checks.
+pipeline ops (dedup, similarity, text analysis) and the transcript
+backfill/request flagships. EVERY query has a DuckDB oracle in
+``oracle_sql()`` — discovery-style ops emit their exact-verified
+stage, transcript flagships run on the SQL-replicable LCG generator
+(data/lcg.py) so the oracle regenerates the inputs as CTEs, and the
+simhash/LSH oracles recompute the identical hashes (portable md5_60
+fingerprints / embedded hyperplane constants).
 
 Column-name and type parity with the oracles is deliberate: every
 float is rounded to 6 dp on BOTH sides, counts are BIGINT on both.
