@@ -1045,9 +1045,14 @@ def _rewrite_in_lists(text: str, df: DataFrame) -> str:
             p += 1
         if buf:
             elems.append("".join(buf))
-        # LHS: word/qualified/backticked name or literal directly before
-        lhs_end = len("".join(out))
+        # `x NOT IN (...)`: the token directly before IN is NOT —
+        # consume it first, then extract the LHS
         so_far = "".join(out)
+        neg = False
+        mnot = re.search(r"(?i)\bNOT\s*$", so_far)
+        if mnot:
+            neg = True
+            so_far = so_far[: mnot.start()]
         mlhs = re.search(r"([\w.`]+|'(?:[^'\\]|\\.)*')\s*$", so_far)
         kinds = {stringness(e) for e in elems}
         klhs = stringness(mlhs.group(1)) if mlhs else None
@@ -1058,15 +1063,6 @@ def _rewrite_in_lists(text: str, df: DataFrame) -> str:
             continue
         lhs = mlhs.group(1)
         pre = so_far[: mlhs.start()]
-        neg = False
-        mnot = re.search(r"(?i)\bNOT\s*$", pre)
-        # `x NOT IN (...)` places NOT before IN, not before the LHS —
-        # match the form `LHS NOT IN` by looking between LHS and IN
-        # (our scanner consumed `IN` right after whitespace, so a NOT
-        # directly before IN would have been part of `so_far`)
-        if mnot:
-            neg = True
-            pre = pre[: mnot.start()]
         def as_num(e: str) -> str:
             # Spark parses `1.0` as DECIMAL(2,1); the dialect reads it
             # as a double (and _dialect_str's float rendering keys off
