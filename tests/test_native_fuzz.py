@@ -79,13 +79,23 @@ def frame_specs(draw):
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(spec=frame_specs(),
        idxs=st.sets(st.integers(min_value=0, max_value=len(_AGG_POOL) - 1),
-                    min_size=1, max_size=4))
-def test_native_equals_kernel_fuzz(spark, spec, idxs):
+                    min_size=1, max_size=4),
+       with_union=st.booleans())
+def test_native_equals_kernel_fuzz(spark, spec, idxs, with_union):
     df = _data(spark)
     aggs = [_AGG_POOL[i] for i in sorted(idxs)]
     assume(_native_expressible(spec, aggs, None, df))
-    nat = window_agg(df, spec, aggs, impl="native")
-    ker = window_agg(df, spec, aggs, impl="kernel")
+    if with_union:
+        # the union-native route: primary = odd rows, union = even rows
+        union = [df.filter(F.col("i") % 2 == 0)]
+        df = df.filter(F.col("i") % 2 == 1)
+        nat = window_agg(df, spec, aggs, union=union, impl="auto")
+        assume("InPandas" not in
+               nat._jdf.queryExecution().executedPlan().toString())
+        ker = window_agg(df, spec, aggs, union=union, impl="kernel")
+    else:
+        nat = window_agg(df, spec, aggs, impl="native")
+        ker = window_agg(df, spec, aggs, impl="kernel")
     cols = ["k", "i"] + [a.name for a in aggs]
     key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
     got = sorted([tuple(r[c] for c in cols) for r in nat.collect()], key=key)
