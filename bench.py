@@ -198,6 +198,33 @@ def main() -> None:
         ], impl="kernel")
     )
 
+    # q10c — request-mode serving shape: features for ONE request row
+    # per conversation against the full transcript history (native
+    # WINDOW UNION plan + as-of meta join)
+    from pyspark.sql import Window as _W
+
+    from openmldb_spark.plans.backfill import AsOfSource, FeatureWindow
+    from openmldb_spark.plans.request import request_features
+
+    rnk = F.row_number().over(
+        _W.partitionBy("conv_id").orderBy(F.desc("ts"), F.desc("turn_idx")))
+    tagged = transcripts.withColumn("__is_tool__", F.col("role") == "tool") \
+                        .withColumn("__rn__", rnk)
+    req = tagged.filter(F.col("__rn__") == 1).drop("__rn__")
+    hist = tagged.filter(F.col("__rn__") > 1).drop("__rn__")
+    fw_req = FeatureWindow(
+        spec=WindowSpec(["conv_id"], "ts", "rows", 10, tiebreak=["turn_idx"]),
+        aggs=[
+            Agg("count_where", "turn_idx", "n_tools_10", cond="__is_tool__"),
+            Agg("distinct_count", "tool", "n_dtools_10"),
+            Agg("lag", "tool", "prev_tool", n=1),
+        ],
+    )
+    queries["request_mode"] = _run(request_features(
+        req, hist, "ts", [fw_req],
+        asof=[AsOfSource(meta, on=["conv_id"], right_ts="ts", prefix="m_")],
+    ).drop("__is_tool__"))
+
     # q11 — SQL-surface as-of LAST JOIN (union_asof routing: 0 Python
     # nodes, 1 Exchange)
     from openmldb_spark.sql import SqlEngine

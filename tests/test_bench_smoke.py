@@ -30,6 +30,7 @@ EXPECTED_QUERIES = {
     "similarity_topk",
     "generic_aggs_1k_frame",
     "cate_aggs_1k_frame",
+    "request_mode",
     "sql_asof_join",
 }
 
