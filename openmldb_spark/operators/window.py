@@ -728,8 +728,17 @@ def _native_window_agg(df: DataFrame, spec: WindowSpec, aggs: list[Agg]) -> Data
             # includes it, else the end-offset-th previous buffer row
             if spec.frame == "rows":
                 expr = col if upper == 0 else F.lag(col, -upper).over(w_lag)
-            else:  # tie mode (gate-guaranteed)
-                expr = col if info["include_cur"] else F.lag(col, 1).over(w_lag)
+            elif info["include_cur"]:  # tie mode (gate-guaranteed)
+                expr = col
+            else:
+                # previous buffer row is the newest frame row only if
+                # its ts is inside the range start (empty frame → NULL)
+                prev = F.lag(col, 1).over(w_lag)
+                if lower is None:
+                    expr = prev
+                else:
+                    prev_ms = F.lag(F.col(ms), 1).over(w_lag)
+                    expr = F.when(prev_ms >= F.col(ms) + lower, prev)
         elif a.func in ("sum", "sum_where") and a.col and isinstance(df.schema[a.col].dataType, int_wrap):
             # integer sums wrap at input width (reference semantics)
             dt = df.schema[a.col].dataType
