@@ -37,19 +37,24 @@ _AGG_POOL = [
 _DF_CACHE = {}
 
 
-def _data(spark):
-    if "df" not in _DF_CACHE:
+def _data(spark, kind: str = "mixed"):
+    if kind not in _DF_CACHE:
         rows = []
         for k in range(3):
             for i in range(90):
-                ts = None if i % 19 == 18 else (i // 3) * 1000
+                if kind == "all_ties":
+                    # one giant tie run per key — stresses buffer-order
+                    # corrections where the range bound never binds
+                    ts = 5000
+                else:
+                    ts = None if i % 19 == 18 else (i // 3) * 1000
                 v = None if i % 7 == 0 else float(i % 11)
                 rows.append((f"k{k}", i, ts, v))
         df = (spark.createDataFrame(rows, "k string, i long, ts long, v double")
               .withColumn("hot", F.col("i") % 3 == 0).cache())
         df.count()
-        _DF_CACHE["df"] = df
-    return _DF_CACHE["df"]
+        _DF_CACHE[kind] = df
+    return _DF_CACHE[kind]
 
 
 @st.composite
@@ -80,9 +85,10 @@ def frame_specs(draw):
 @given(spec=frame_specs(),
        idxs=st.sets(st.integers(min_value=0, max_value=len(_AGG_POOL) - 1),
                     min_size=1, max_size=4),
-       with_union=st.booleans())
-def test_native_equals_kernel_fuzz(spark, spec, idxs, with_union):
-    df = _data(spark)
+       with_union=st.booleans(),
+       data_kind=st.sampled_from(["mixed", "all_ties"]))
+def test_native_equals_kernel_fuzz(spark, spec, idxs, with_union, data_kind):
+    df = _data(spark, data_kind)
     aggs = [_AGG_POOL[i] for i in sorted(idxs)]
     assume(_native_expressible(spec, aggs, None, df))
     if with_union:
