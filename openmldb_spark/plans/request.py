@@ -12,10 +12,30 @@ request rows — the serving-path shape (thousands of requests against
 Spark-first realization: the request rows are the emitted primary of
 a WINDOW UNION pass whose union side is the history table — exactly
 the reference's RequestUnionNode (request row + matching history
-window buffered together, only the request row emitted). With
-decomposable aggregates the whole plan is the native zero-Python
-window-union route; frames never read rows with ts > anchor, so
-temporal leakage is impossible by construction.
+window buffered together, only the request row emitted). Frames never
+read rows with ts > anchor, so temporal leakage is impossible by
+construction.
+
+**Request independence.** In the reference's request mode every
+request is served in isolation: two requests for the same key never
+see each other, only stored rows. A plain WINDOW UNION does NOT give
+that — all primary rows share one buffer, so request B at an earlier
+ts would enter request A's frame. The dialect's own escape hatch is
+``INSTANCE_NOT_IN_WINDOW`` (WINDOW_CLAUSE.md:245-254): non-current
+primary rows never enter a frame, which is precisely per-request
+isolation. ``request_features`` therefore:
+
+- ``independent="auto"`` (default): one cheap probe over the (small)
+  request set per distinct partition-key tuple — when no key holds
+  more than one request, the plain union plan is already isolation-
+  correct and keeps the zero-Python native route; otherwise the
+  window runs with ``INSTANCE_NOT_IN_WINDOW`` (kernel route, exact).
+- ``independent=True``: always ``INSTANCE_NOT_IN_WINDOW``.
+- ``independent=False``: caller asserts at most one request per key
+  (or explicitly wants shared-frame batch semantics); no probe.
+
+With decomposable aggregates and isolated anchors the whole plan is
+the native zero-Python window-union route.
 
 Request rows are assumed NOT to be part of ``history`` (they are
 incoming rows being served); like the reference, the request row
@@ -24,11 +44,31 @@ itself participates in its own frame (CURRENT ROW).
 
 from __future__ import annotations
 
+from dataclasses import replace
+
 from openmldb_spark.operators.last_join import last_join
 from openmldb_spark.operators.window import window_agg
 from openmldb_spark.plans.backfill import AsOfSource, FeatureWindow
 
-__all__ = ["request_features"]
+__all__ = ["request_features", "requests_isolated"]
+
+
+def requests_isolated(requests, keys) -> bool:
+    """True when no partition-key tuple holds more than one request
+    row — the condition under which a plain WINDOW UNION plan already
+    serves each request in isolation. One small aggregation job over
+    the request set (requests are the serving batch: thousands of
+    rows, not the 10^12-turn history — the probe never touches
+    history)."""
+    from pyspark.sql import functions as F
+
+    return (
+        requests.select(*keys)
+        .groupBy(*keys)
+        .count()
+        .filter(F.col("count") > 1)
+        .isEmpty()
+    )
 
 
 def request_features(
@@ -37,6 +77,7 @@ def request_features(
     anchor_ts: str,
     windows: list[FeatureWindow],
     asof: list[AsOfSource] | None = None,
+    independent: bool | str = "auto",
 ):
     """Feature vector at every request row.
 
@@ -44,24 +85,35 @@ def request_features(
     history lacks are NULL-padded into frames by the union machinery).
     Multiple requests for the same key are independent anchors — a
     request's frame contains history rows and itself, never other
-    request rows (``emit``-flagged union semantics would include them
-    only if they were part of ``history``).
+    request rows (see module docstring for how ``independent``
+    realizes that).
     """
     out = requests
+    iso_cache: dict[tuple, bool] = {}
     for fw in windows:
+        keys = tuple(fw.spec.partition_by)
+        if independent is True:
+            inw = True
+        elif independent is False:
+            inw = False
+        else:
+            if keys not in iso_cache:
+                iso_cache[keys] = requests_isolated(requests, keys)
+            inw = not iso_cache[keys]
+        spec = replace(fw.spec, instance_not_in_window=True) if inw else fw.spec
         union = [history] + list(fw.union or [])
         if fw.skew:
             from openmldb_spark.operators.skew import window_agg_skewed
 
             out = window_agg_skewed(
-                out, fw.spec, fw.aggs,
+                out, spec, fw.aggs,
                 quantiles=fw.skew_quantiles,
                 hot_threshold=fw.skew_hot_threshold,
                 union=union,
                 row_key=fw.row_key,
             )
         else:
-            out = window_agg(out, fw.spec, fw.aggs, union=union, impl=fw.impl,
+            out = window_agg(out, spec, fw.aggs, union=union, impl=fw.impl,
                              row_key=fw.row_key)
     for src in asof or []:
         out = last_join(

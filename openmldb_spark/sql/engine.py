@@ -23,7 +23,7 @@ tables are rewritten to the engine's flattened/prefixed names.
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1286,6 +1286,8 @@ class SqlEngine:
         self.spark = spark
         self.tables: dict[str, DataFrame] = {}
         self.index_ts: dict[str, str] = {}
+        # DEPLOY registry: name → {sql, main, options}
+        self.deployments: dict[str, dict] = {}
         # expose composite scalar functions (earth_distance …) to SQL
         key = id(spark)
         if key not in SqlEngine._REGISTERED_SESSIONS:
@@ -1367,8 +1369,115 @@ class SqlEngine:
             self.spark.udf.register(name, fn, ret_type)
         return self.spark.range(0).select(F.lit(name).alias("function"))
 
+    # --- DEPLOY / request mode (reference deployment_manage/DEPLOY_
+    # STATEMENT.md; online request-mode RequestUnion, survey §3.2) ----
+
+    _REQ_VIEW = "__omldb_requests__"
+
+    def _ddl_deploy(self, q: str) -> DataFrame:
+        """``DEPLOY [IF NOT EXISTS] name [OPTIONS(...)] SELECT ...`` —
+        registers the SELECT as a request-mode deployment. The stored
+        SQL later executes against incoming request rows via
+        :meth:`request`: the main table is swapped for the request
+        batch and simultaneously feeds every window as UNION history —
+        the batch analogue of the reference's online serving path."""
+        m = re.match(
+            r"(?is)^DEPLOY\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(\w+)\s+"
+            r"(?:OPTIONS\s*\(([^)]*)\)\s*)?((?:SELECT|WITH)\b.*)$", q)
+        if not m:
+            raise ValueError(f"unsupported DEPLOY form: {q!r}")
+        name = m.group(2).lower()
+        sel = m.group(4).strip()
+        if name in self.deployments:
+            if m.group(1):
+                return self.spark.range(0).select(F.lit(name).alias("deployment"))
+            raise ValueError(
+                f"deployment {name!r} already exists (DROP DEPLOYMENT first, "
+                f"or DEPLOY IF NOT EXISTS)")
+        if re.match(r"(?is)^WITH\b", sel):
+            raise ValueError(
+                "DEPLOY requires a plain SELECT over a stored table "
+                "(CTEs cannot be re-anchored to request rows)")
+        mf = re.search(r"(?is)\bFROM\s+([A-Za-z_]\w*|\()", sel)
+        if not mf or mf.group(1) == "(":
+            raise ValueError("DEPLOY requires SELECT ... FROM <stored table>")
+        main = mf.group(1).lower()
+        self._table(main)  # validate the main table exists at deploy time
+        self.deployments[name] = {
+            "sql": sel, "main": main, "options": (m.group(3) or "").strip()}
+        return self.spark.range(0).select(F.lit(name).alias("deployment"))
+
+    def _show_deployments(self, name: str | None) -> DataFrame:
+        rows = [
+            (n, d["main"], d["sql"]) for n, d in sorted(self.deployments.items())
+            if name is None or n == name.lower()
+        ]
+        if name is not None and not rows:
+            raise ValueError(f"unknown deployment {name!r}")
+        schema = "name string, main_table string, sql string"
+        return self.spark.createDataFrame(rows, schema)
+
+    def request(self, name: str, requests: DataFrame,
+                independent: bool | str = "auto") -> DataFrame:
+        """Execute deployment ``name`` against a batch of request rows
+        (schema ⊇ the main table's columns). Every window over the main
+        table reads the STORED table as history while only the request
+        rows are emitted; as-of LAST JOINs anchor at each request's ts.
+        ``independent`` follows ``plans.request.request_features``:
+        "auto" probes the (small) request batch per partition-key tuple
+        and applies INSTANCE_NOT_IN_WINDOW only when two requests share
+        a key — keeping isolated batches on the zero-Python native
+        window-union plan while multi-request-per-key batches stay
+        exactly per-request isolated, like the reference's serving."""
+        dep = self.deployments.get(name.lower())
+        if dep is None:
+            raise ValueError(f"unknown deployment {name!r}")
+        history = self._table(dep["main"])
+        missing = [c for c in history.columns if c not in requests.columns]
+        if missing:
+            raise ValueError(
+                f"request rows lack main-table columns {missing} "
+                f"(deployment {name!r} over table {dep['main']!r})")
+        reqs = requests.select(*history.columns)
+        # the FIRST "FROM main" is the request anchor; any other
+        # reference to the main table (dim joins, subqueries) keeps
+        # reading the stored table
+        sel = re.sub(rf"(?is)\bFROM\s+{re.escape(dep['main'])}\b",
+                     f"FROM {self._REQ_VIEW}", dep["sql"], count=1)
+        prev = getattr(self, "_request_ctx", None)
+        self._request_ctx = {
+            "main": dep["main"], "requests": reqs, "history": history,
+            "independent": independent, "_iso": {},
+        }
+        try:
+            return self.sql(sel)
+        finally:
+            self._request_ctx = prev
+
+    def _request_needs_inw(self, ctx: dict, spec: WindowSpec,
+                           df: DataFrame) -> bool:
+        ind = ctx.get("independent", "auto")
+        if ind is True:
+            return True
+        if ind is False or spec.instance_not_in_window:
+            return spec.instance_not_in_window
+        keys = tuple(spec.partition_by)
+        iso = ctx["_iso"]
+        if keys not in iso:
+            from openmldb_spark.plans.request import requests_isolated
+
+            src = ctx["requests"] if all(
+                k in ctx["requests"].columns for k in keys) else df
+            iso[keys] = requests_isolated(src, list(keys))
+        return not iso[keys]
+
     def _table(self, name: str) -> DataFrame:
         n = name.lower()
+        if n == self._REQ_VIEW:
+            ctx = getattr(self, "_request_ctx", None)
+            if ctx is not None:
+                return ctx["requests"]
+            raise ValueError("request view is only valid inside request()")
         local = getattr(self, "_local_tables", None)
         if local and n in local:
             return local[n]
@@ -1613,6 +1722,18 @@ class SqlEngine:
             return self._ddl_create_function(q)
         if re.match(r"(?is)^INSERT\s+INTO\b", q):
             return self._ddl_insert(q)
+        if re.match(r"(?is)^DEPLOY\b", q):
+            return self._ddl_deploy(q)
+        mshow = re.match(r"(?is)^SHOW\s+DEPLOYMENT(S)?(?:\s+(\w+))?\s*$", q)
+        if mshow:
+            return self._show_deployments(mshow.group(2))
+        mdrop = re.match(r"(?is)^DROP\s+DEPLOYMENT\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$", q)
+        if mdrop:
+            name = mdrop.group(1).lower()
+            if self.deployments.pop(name, None) is None \
+                    and not re.match(r"(?is)^DROP\s+DEPLOYMENT\s+IF\s+EXISTS\b", q):
+                raise ValueError(f"unknown deployment {name!r}")
+            return self.spark.range(0).select(F.lit(name).alias("deployment"))
         # a fully parenthesized statement is its inner statement
         while q.startswith("(") and q.endswith(")"):
             depth = 0
@@ -1757,9 +1878,16 @@ class SqlEngine:
         toks = base_part.split()
         base_tbl = toks[0].lower()
         df = self._table(base_tbl)
+        # request-mode execution: the deployment's main table was
+        # swapped for the request batch; its original name stays an
+        # alias so qualified references keep resolving
+        req_ctx = getattr(self, "_request_ctx", None)
+        req_active = req_ctx is not None and base_tbl == self._REQ_VIEW
         # optional alias on the base table ("FROM t0 a" / "FROM t0 AS a")
         alias_toks = [t for t in toks[1:] if t.lower() != "as"]
         aliases = [base_tbl] + [a.lower() for a in alias_toks]
+        if req_active:
+            aliases.append(req_ctx["main"])
 
         # column map: base table columns keep their names
         self._colmap: dict[tuple[str, str], str] = {}
@@ -1987,6 +2115,14 @@ class SqlEngine:
                     instance_not_in_window=wd.instance_not_in_window,
                 )
                 union = [self._resolve_table(t) for t in wd.union_tables] or None
+                if req_active:
+                    # every window over the request primary draws its
+                    # frames from the stored history (RequestUnion);
+                    # INSTANCE_NOT_IN_WINDOW isolates concurrent
+                    # requests for the same key when needed
+                    union = [req_ctx["history"]] + (union or [])
+                    if self._request_needs_inw(req_ctx, spec, df):
+                        spec = replace(spec, instance_not_in_window=True)
                 if union:
                     # union rows need the engine's temp columns too
                     # (e.g. a *_where condition evaluated over union

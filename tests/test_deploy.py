@@ -1,0 +1,142 @@
+"""SQL DEPLOY / request-mode serving surface (reference
+docs/en/openmldb_sql/deployment_manage/DEPLOY_STATEMENT.md; online
+request mode survey §3.2).
+
+``DEPLOY name SELECT ...`` registers a deployment; ``engine.request``
+executes it against a batch of request rows: windows over the main
+table read the STORED table as history (RequestUnion), only request
+rows are emitted, as-of LAST JOINs anchor at each request's ts, and
+concurrent requests for the same key are served in isolation
+(INSTANCE_NOT_IN_WINDOW when the batch has key collisions)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _engine(spark):
+    from openmldb_spark.sql import SqlEngine
+
+    return SqlEngine(spark)
+
+
+def _hist_rows():
+    # conv c1: ts 1..10 (v = ts); conv c2: ts 1..4
+    rows = [("c1", i, float(i), "tool" if i % 3 == 0 else "user")
+            for i in range(1, 11)]
+    rows += [("c2", i, float(10 * i), "user") for i in range(1, 5)]
+    return rows
+
+
+@pytest.fixture()
+def eng(spark):
+    e = _engine(spark)
+    hist = spark.createDataFrame(
+        _hist_rows(), "conv_id string, ts bigint, v double, role string")
+    e.register("conv_hist", hist)
+    meta = spark.createDataFrame(
+        [("c1", 2, "gpt"), ("c1", 6, "claude"), ("c2", 1, "misc")],
+        "conv_id string, ts bigint, model string")
+    e.register("conv_meta", meta, index_ts="ts")
+    return e
+
+
+DEPLOY_SQL = (
+    "DEPLOY d1 OPTIONS(mode='request') "
+    "SELECT conv_id, ts, v, "
+    "count(v) OVER w AS n3, sum(v) OVER w AS s3, lag(v, 1) OVER w AS prev "
+    "FROM conv_hist "
+    "WINDOW w AS (PARTITION BY conv_id ORDER BY ts "
+    "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+)
+
+
+def test_deploy_show_drop(eng):
+    eng.sql(DEPLOY_SQL)
+    rows = eng.sql("SHOW DEPLOYMENTS").collect()
+    assert [(r.name, r.main_table) for r in rows] == [("d1", "conv_hist")]
+    one = eng.sql("SHOW DEPLOYMENT d1").collect()
+    assert one[0].sql.startswith("SELECT")
+    # duplicate name errors; IF NOT EXISTS is a no-op
+    with pytest.raises(ValueError, match="already exists"):
+        eng.sql(DEPLOY_SQL)
+    eng.sql("DEPLOY IF NOT EXISTS d1 SELECT conv_id FROM conv_hist")
+    assert eng.deployments["d1"]["sql"].startswith("SELECT conv_id, ts")
+    eng.sql("DROP DEPLOYMENT d1")
+    assert eng.sql("SHOW DEPLOYMENTS").count() == 0
+    with pytest.raises(ValueError, match="unknown deployment"):
+        eng.sql("SHOW DEPLOYMENT d1")
+    with pytest.raises(ValueError, match="unknown deployment"):
+        eng.sql("DROP DEPLOYMENT d1")
+    eng.sql("DROP DEPLOYMENT IF EXISTS d1")  # no error
+
+
+def test_deploy_validates_main_table(eng):
+    with pytest.raises(ValueError, match="unknown table"):
+        eng.sql("DEPLOY dx SELECT a FROM nope")
+
+
+def test_request_isolated_anchor_native(eng, spark):
+    eng.sql(DEPLOY_SQL)
+    reqs = spark.createDataFrame(
+        [("c1", 12, 100.0, "user"), ("c2", 9, 200.0, "user")],
+        "conv_id string, ts bigint, v double, role string")
+    out = eng.request("d1", reqs)
+    got = {r.conv_id: (r.n3, r.s3, r.prev) for r in out.collect()}
+    # c1@12: frame = hist ts 9,10 + request → n3=3, s3=9+10+100, prev=10
+    # c2@9: frame = hist ts 3,4 (v 30,40) + request → s3=270, prev=40
+    assert got == {"c1": (3, 119.0, 10.0), "c2": (3, 270.0, 40.0)}
+    # isolated anchors keep the zero-Python native window-union plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InPandas" not in plan
+
+
+def test_request_multi_per_key_isolated(eng, spark):
+    """Two requests for the same conv must not see each other — only
+    stored history (+ themselves)."""
+    eng.sql(DEPLOY_SQL)
+    reqs = spark.createDataFrame(
+        [("c1", 11, 100.0, "user"), ("c1", 12, 200.0, "user")],
+        "conv_id string, ts bigint, v double, role string")
+    got = {r.ts: (r.n3, r.s3, r.prev) for r in eng.request("d1", reqs).collect()}
+    # each: frame = hist 9,10 + self (the other request is NOT history)
+    assert got == {11: (3, 119.0, 10.0), 12: (3, 219.0, 10.0)}
+    # independent=False shows the shared-buffer (batch) semantics instead
+    got_b = {r.ts: r.s3 for r in
+             eng.request("d1", reqs, independent=False).collect()}
+    assert got_b[12] == 10.0 + 100.0 + 200.0  # leaked request row
+
+
+def test_request_zero_leakage(eng, spark):
+    """Stored rows newer than the anchor never enter a frame."""
+    eng.sql(DEPLOY_SQL)
+    reqs = spark.createDataFrame(
+        [("c1", 5, 100.0, "user")], "conv_id string, ts bigint, v double, role string")
+    out = eng.request("d1", reqs).collect()[0]
+    # frame = hist ts 4,5 + request (ts 6..10 are in the future)
+    assert (out.n3, out.s3, out.prev) == (3, 109.0, 5.0)
+
+
+def test_request_asof_join_anchor(eng, spark):
+    eng.sql(
+        "DEPLOY d2 SELECT t.conv_id, t.ts, count(v) OVER w AS n2, m.model "
+        "FROM conv_hist t LAST JOIN conv_meta m ORDER BY m.ts "
+        "ON t.conv_id = m.conv_id AND m.ts <= t.ts "
+        "WINDOW w AS (PARTITION BY conv_id ORDER BY ts "
+        "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)")
+    reqs = spark.createDataFrame(
+        [("c1", 4, 0.0, "user"), ("c1", 7, 0.0, "user")],
+        "conv_id string, ts bigint, v double, role string")
+    got = {r.ts: (r.n2, r.model) for r in eng.request("d2", reqs).collect()}
+    # model as-of 4 → 'gpt' (meta ts 2); as-of 7 → 'claude' (meta ts 6)
+    assert got == {4: (2, "gpt"), 7: (2, "claude")}
+
+
+def test_request_schema_mismatch_errors(eng, spark):
+    eng.sql(DEPLOY_SQL)
+    bad = spark.createDataFrame([("c1", 1)], "conv_id string, ts bigint")
+    with pytest.raises(ValueError, match="lack main-table columns"):
+        eng.request("d1", bad)
+    with pytest.raises(ValueError, match="unknown deployment"):
+        eng.request("nope", bad)

@@ -61,6 +61,43 @@ def test_request_matches_backfill_on_isolated_anchors(spark, transcripts, conv_m
     assert g == w
 
 
+def test_multi_request_per_key_independence(spark, transcripts):
+    """Several requests for the same conv are independent anchors: a
+    request's frame holds history rows and itself, never other request
+    rows. Ground truth computed row-by-row in pandas."""
+    reqs_f = F.col("turn_idx").isin(3, 5, 9)
+    requests = _prep(transcripts.filter(reqs_f))
+    history = _prep(transcripts.filter(~reqs_f))
+
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["n_10"], r["tools_10"], r["max_turn_10"])
+        for r in request_features(requests, history, "ts", [_fw()]).collect()
+    }
+
+    hp = history.toPandas().sort_values(["conv_id", "ts", "turn_idx"])
+    want = {}
+    for r in requests.toPandas().itertuples():
+        sub = hp[(hp.conv_id == r.conv_id) & (hp.ts <= r.ts)].tail(10)
+        n = len(sub) + 1
+        tool_vals = [int(v) for v in sub.loc[sub.role == "tool", "turn_idx"]]
+        if r.role == "tool":
+            tool_vals.append(int(r.turn_idx))
+        tools = sum(tool_vals) if tool_vals else None  # dialect: empty sum = NULL
+        mx = max([int(v) for v in sub.turn_idx] + [int(r.turn_idx)])
+        want[(r.conv_id, r.turn_idx)] = (n, tools, mx)
+    assert len(got) == len(want) > 0
+    assert got == want
+
+    # shared-buffer batch semantics (independent=False) must differ —
+    # adjacent requests (turns 3/5/9) would enter each other's frames
+    got_b = {
+        (r["conv_id"], r["turn_idx"]): (r["n_10"], r["tools_10"], r["max_turn_10"])
+        for r in request_features(
+            requests, history, "ts", [_fw()], independent=False).collect()
+    }
+    assert got_b != got
+
+
 def test_request_zero_leakage_and_native_plan(spark, transcripts):
     requests = _prep(transcripts.filter(F.col("turn_idx") == 5))
     history = _prep(transcripts.filter(F.col("turn_idx") != 5))
