@@ -1842,7 +1842,13 @@ def _eval_anchor_pair(agg: Agg, pdf: pd.DataFrame, lo, seg_hi, inc_cur,
             else:
                 vals = _pair_eval(g_v[sel], agg.pair[1], h_v[i], cmp=False)
         elif v_plain is not None:
-            vals = pd.to_numeric(pd.Series(list(v_plain[sel])), errors="coerce").to_numpy(dtype="float64")
+            if base == "count" and v_plain.dtype == object:
+                # count non-null values of non-numeric frames directly
+                # (to_numeric would coerce strings to NaN → count 0)
+                vals = np.array([np.nan if (v is None or v != v) else 1.0
+                                 for v in v_plain[sel]], dtype="float64")
+            else:
+                vals = pd.to_numeric(pd.Series(list(v_plain[sel])), errors="coerce").to_numpy(dtype="float64")
         else:
             vals = np.ones(len(sel), dtype="float64")
         nnv = vals[~np.isnan(vals)]
@@ -2129,6 +2135,12 @@ def make_kernel(spec: WindowSpec, aggs: list[Agg], out_cols: list[str], result_f
                     dt64 = pd.to_datetime(col_s, errors="coerce")
                     vals = (dt64.astype("datetime64[ns]").astype("int64") // 1_000_000).astype("float64")
                     vals[dt64.isna().to_numpy()] = np.nan
+                elif a.col and base == "count" and col_s.dtype == object:
+                    # count over non-numeric frames (strings, bools in
+                    # object arrays) counts NON-NULL values — to_numeric
+                    # would coerce them all to NaN and count 0
+                    # (long_window/test_count_where.yaml id=4)
+                    vals = np.where(col_s.isna().to_numpy(), np.nan, 1.0)
                 elif a.col:
                     vals = pd.to_numeric(col_s, errors="coerce").to_numpy()
                 else:
@@ -2357,8 +2369,14 @@ def _eval_inw_all(spec: WindowSpec, aggs: list[Agg], pdf: pd.DataFrame,
         if a.func in ("lag", "at"):
             vals = pdf[a.col].to_numpy()
             for i in emit_pos:
+                if a.n == 0:
+                    # offset 0 is the current (primary) row itself — it
+                    # heads the eligible subsequence even though primary
+                    # rows are never buffered (test_news.yaml lag(c,0))
+                    out[i] = vals[i]
+                    continue
                 j = anchor[i] - a.n
-                out[i] = vals[posU[j]] if j >= 0 else None
+                out[i] = vals[posU[j]] if 0 <= j < len(posU) else None
         elif a.func == "first_value":
             vals = pdf[a.col].to_numpy()
             for i in emit_pos:

@@ -1568,9 +1568,18 @@ class SqlEngine:
                 row = self.sql("select " + tup).toDF(*names)
                 incoming = row if incoming is None else incoming.unionByName(row)
         by_name = {f.name: f for f in target.schema.fields}
-        incoming = incoming.select(*[
-            incoming[c].cast(by_name[c].dataType).alias(c) for c in names
-        ])
+
+        def _coerce(c: str):
+            src = incoming.schema[c].dataType
+            tgt = by_name[c].dataType
+            if isinstance(tgt, T.TimestampType) and isinstance(
+                    src, (T.ShortType, T.IntegerType, T.LongType)):
+                # dialect: integer → timestamp is epoch-MS (Spark's cast
+                # would read seconds) — dml/test_insert.yaml id=0
+                return F.timestamp_millis(incoming[c].cast("long")).alias(c)
+            return incoming[c].cast(tgt).alias(c)
+
+        incoming = incoming.select(*[_coerce(c) for c in names])
         for f in target.schema.fields:  # missing columns → NULL
             if f.name not in names:
                 incoming = incoming.withColumn(
@@ -1589,6 +1598,12 @@ class SqlEngine:
         test_lastjoin_complex.yaml id=4)."""
         out = []
         i, n = 0, len(text)
+        # sibling scoping: an alias registered for one subquery must not
+        # shadow a real table of the same name inside a LATER sibling's
+        # evaluation ("(select .. from t0) as t1 last join (select ..
+        # from t1)" — v040/test_groupby.yaml id=22), so registrations
+        # are deferred until the whole FROM region is scanned
+        pending: dict[str, DataFrame] = {}
         while i < n:
             if text[i] == "(":
                 j = i + 1
@@ -1608,8 +1623,8 @@ class SqlEngine:
                         alias = m.group(1)
                         j += m.end()
                     if alias is None:
-                        alias = f"__sub{len(self._local_tables)}__"
-                    self._local_tables[alias.lower()] = df
+                        alias = f"__sub{len(self._local_tables) + len(pending)}__"
+                    pending[alias.lower()] = df
                     out.append(f" {alias} ")
                     i = j
                     continue
@@ -1618,6 +1633,7 @@ class SqlEngine:
             else:
                 out.append(text[i])
                 i += 1
+        self._local_tables.update(pending)
         return "".join(out)
 
     # -- parsing ------------------------------------------------------------
@@ -1919,6 +1935,12 @@ class SqlEngine:
             for rname in filter(None, (rtbl, ralias)):
                 if rname == rtbl and rname in aliases:
                     continue
+                if (rname == rtbl and ralias and ralias != rtbl
+                        and any(k[0] == rtbl for k in self._colmap)):
+                    # real-name fallback must not clobber a name an
+                    # earlier join already claimed ("t1 as t1 ... last
+                    # join t1 as t4" — window_and_lastjoin.yaml id=6)
+                    continue
                 for c in right.columns:
                     self._colmap[(rname, c.lower())] = f"{prefix}{c}"
                     self._flat_raw[f"{prefix}{c}"] = c
@@ -1931,12 +1953,28 @@ class SqlEngine:
                 else:
                     self._bare_map[cl] = f"{prefix}{c}"
 
+            # dialect ts-arithmetic inside join predicates ("c7 - 1000 >=
+            # t1.x7" = ms offset — cluster/window_and_lastjoin.yaml id=6):
+            # rewrite against the post-prefix name space
+            join_ts_cols = {
+                f.name for f in df.schema.fields
+                if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType))
+            } | {
+                f"{prefix}{f.name}" for f in right.schema.fields
+                if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType))
+            }
+
+            def _cond_expr(txt: str) -> str:
+                txt = self._rewrite_refs(txt)
+                return _map_outside_strings(
+                    txt, lambda s: _rewrite_ts_arith(s, join_ts_cols))
+
             if jkind == "LEFT":
                 # plain LEFT JOIN (JoinPlan.scala:159): prefix right
                 # columns, lower to a native left outer join — Catalyst
                 # extracts the equi keys from the predicate itself
                 right2 = right.select(*[F.col(c).alias(f"{prefix}{c}") for c in right.columns])
-                cond_col = F.expr(self._rewrite_refs(cond_txt))
+                cond_col = F.expr(_cond_expr(cond_txt))
                 df = df.join(right2, cond_col, "left")
                 continue
 
@@ -1981,7 +2019,7 @@ class SqlEngine:
             if residual:
                 # non-equi residual conditions ride the join predicate
                 # (JoinPlan.scala:112-151); names resolve post-prefix
-                cond_col = F.expr(" AND ".join(f"({self._rewrite_refs(c)})" for c in residual))
+                cond_col = F.expr(" AND ".join(f"({_cond_expr(c)})" for c in residual))
 
             pure_asof = (
                 asof_l is not None and asof_r is not None and cond_col is None
@@ -2207,9 +2245,22 @@ class SqlEngine:
         ``UNION (select * from t1)``)."""
         t = name.strip()
         if t.startswith("("):
+            # balanced-paren subquery, optional trailing "[AS] alias"
+            # (cluster/test_window_row.yaml id=1: UNION (select ...) as t2)
+            depth = 0
+            end = -1
+            for i, ch in enumerate(t):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        end = i
+                        break
+            inner = t[1:end] if end > 0 else t[1:-1]
             saved = (self._colmap, getattr(self, "_bare_map", {}))
             try:
-                return self.sql(t[1:-1])
+                return self.sql(inner)
             finally:
                 self._colmap, self._bare_map = saved
         return self._table(t)

@@ -184,6 +184,12 @@ def build_df(spark, inp: dict):
             ])
             out = sel if out is None else out.unionByName(sel)
         return out
+    rep = int(inp.get("repeat") or 1)
+    if rep > 1 and raw is not None:
+        # reference loader replicates the whole row set `repeat` times
+        # (engine_test_base.h:150-158)
+        raw = list(raw) * rep
+
     def conv_in(v, dt):
         v = _conv(v, dt, for_input=True)
         if isinstance(v, str):
@@ -195,6 +201,12 @@ def build_df(spark, inp: dict):
         for r in raw or []
     ]
     return spark.createDataFrame(rows, schema=schema)
+
+
+def _subst_tables(sql: str, names: list[str]) -> str:
+    for i, name in enumerate(names):
+        sql = sql.replace("{" + str(i) + "}", name)
+    return sql
 
 
 def load_cases(path: str) -> list[dict]:
@@ -209,6 +221,12 @@ def load_cases(path: str) -> list[dict]:
 def expand_case(case: dict) -> list[dict]:
     """Expand dataProvider variants: ``d[k]`` tokens in the SQL iterate
     over provider lists; expectProvider overrides expect per variant."""
+    if "sql" not in case and case.get("sqls"):
+        # multi-statement cases (long_window deploys, deploy DDL files)
+        # run as one ';'-joined script; the last statement's result is
+        # the compared one
+        case = dict(case, sql="\n;\n".join(str(s).rstrip("; \n") for s in case["sqls"]),
+                    _multi=True)
     providers = case.get("dataProvider")
     if not providers:
         return [case]
@@ -249,15 +267,21 @@ def expand_case(case: dict) -> list[dict]:
     return out
 
 
-def run_case(spark, case: dict):
-    """Returns (ok, message). Raises nothing."""
+def run_case(spark, case: dict, smoke_success: bool = False):
+    """Returns (ok, message). Raises nothing.
+
+    ``smoke_success``: cases whose only expectation is ``success: true``
+    (the reference's run-through smokes — function/spark real-world
+    scenarios, deploy/long-window DDL) execute the SQL and pass when no
+    error is raised, instead of being skipped."""
     from openmldb_spark.sql import SqlEngine
 
     expect = case.get("expect", {})
     if expect.get("success") is False:
         return None, "error-case (skipped)"
-    if not any(expect.get(k) for k in ("rows", "columns", "data", "schema")):
-        return None, "no expected rows (skipped)"
+    if not any(expect.get(k) for k in ("rows", "columns", "data", "schema", "count")):
+        if not (smoke_success and expect.get("success") is True):
+            return None, "no expected rows (skipped)"
     mode = case.get("mode", "")
     if "batch-unsupport" in mode or "offline-unsupport" in mode:
         return None, f"mode={mode} (skipped)"
@@ -279,11 +303,25 @@ def _run_case_in_corpus_tz(spark, case: dict, expect: dict):
     from openmldb_spark.sql import SqlEngine
 
     eng = SqlEngine(spark)
-    names = []
+    names = [f"t{i}" for i in range(len(case.get("inputs", [])))]
     for i, inp in enumerate(case.get("inputs", [])):
         if "resource" in inp:
             inp = _load_resource(inp["resource"])
         name = inp.get("name", f"t{i}")
+        names[i] = name
+        if inp.get("create"):
+            # DDL-defined input (dml/ddl corpus): the create + insert
+            # statements run through the engine itself — index ts= and
+            # epoch-ms timestamp literals follow the engine's DDL rules
+            stmts = [inp["create"]]
+            if inp.get("insert"):
+                stmts.append(inp["insert"])
+            stmts.extend(inp.get("inserts") or [])
+            for stmt in stmts:
+                for one in str(stmt).split(";"):
+                    if one.strip():
+                        eng.sql(_subst_tables(one, names))
+            continue
         index_ts = None
         idxs = inp.get("indexs")
         if idxs is None and inp.get("index"):
@@ -294,10 +332,7 @@ def _run_case_in_corpus_tz(spark, case: dict, expect: dict):
                 index_ts = parts[2]
                 break
         eng.register(name, build_df(spark, inp), index_ts=index_ts)
-        names.append(name)
-    sql = case["sql"]
-    for i, name in enumerate(names):
-        sql = sql.replace("{" + str(i) + "}", name)
+    sql = _subst_tables(case["sql"], names)
 
     params = case.get("parameters")
     if params:
@@ -321,8 +356,27 @@ def _run_case_in_corpus_tz(spark, case: dict, expect: dict):
                 lit = repr(v)
             sql = sql.replace("?", lit, 1)
 
+    if not any(expect.get(k) for k in ("rows", "columns", "data", "schema", "count")):
+        # success-only smoke (run_case gated entry): every statement
+        # must execute without error; multi-statement cases run in order
+        try:
+            parts = sql.split("\n;\n") if case.get("_multi") else [sql]
+            for one in parts:
+                if one.strip():
+                    eng.sql(one).collect()
+        except Exception as ex:  # noqa: BLE001
+            return False, f"ENGINE ERROR: {type(ex).__name__}: {str(ex)[:200]}"
+        return True, "ok (success smoke)"
+
     try:
-        got = eng.sql(sql).toPandas()
+        if case.get("_multi"):
+            df = None
+            for one in sql.split("\n;\n"):
+                if one.strip():
+                    df = eng.sql(one)
+            got = df.toPandas()
+        else:
+            got = eng.sql(sql).toPandas()
     except Exception as ex:  # noqa: BLE001
         return False, f"ENGINE ERROR: {type(ex).__name__}: {str(ex)[:200]}"
 
@@ -334,6 +388,16 @@ def _run_case_in_corpus_tz(spark, case: dict, expect: dict):
             for line in expect["data"].strip().splitlines()
             if line.strip()
         ]
+    if raw_rows is None and "data" not in expect:
+        # columns-only / count-only expectation (cluster batch LIMIT
+        # cases, ddl create cases): schema (+ row count) check only
+        if list(got.columns) != [f.name for f in exp_schema.fields]:
+            return False, (f"columns: got {list(got.columns)} "
+                           f"want {[f.name for f in exp_schema.fields]}")
+        cnt = expect.get("count")
+        if cnt is not None and len(got) != int(cnt):
+            return False, f"rows: got {len(got)} want count={cnt}"
+        return True, "ok (schema/count only)"
     exp_rows = [
         tuple(_conv(v, f.dataType) for v, f in zip(r, exp_schema.fields))
         for r in raw_rows or []

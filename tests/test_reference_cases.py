@@ -19,7 +19,16 @@ FILES = (
     sorted(glob.glob("/root/reference/cases/function/window/*.yaml"))
     + sorted(glob.glob("/root/reference/cases/function/join/*.yaml"))
     + sorted(glob.glob("/root/reference/cases/function/expression/*.yaml"))
+    + sorted(glob.glob("/root/reference/cases/function/cluster/*.yaml"))
+    + sorted(glob.glob("/root/reference/cases/function/spark/*.yaml"))
     + [
+        "/root/reference/cases/function/v040/test_groupby.yaml",
+        "/root/reference/cases/function/v040/test_udaf.yaml",
+        "/root/reference/cases/function/long_window/long_window.yaml",
+        "/root/reference/cases/function/long_window/test_count_where.yaml",
+        "/root/reference/cases/function/dml/test_insert.yaml",
+        "/root/reference/cases/function/dml/multi_insert.yaml",
+        "/root/reference/cases/function/ddl/test_create.yaml",
         "/root/reference/cases/function/test_feature_zero_function.yaml",
         "/root/reference/cases/query/udaf_query.yaml",
         "/root/reference/cases/query/left_join.yml",
@@ -80,6 +89,14 @@ KNOWN_DIVERGENCES = {
 # (in_predicate coercions, multi-char ESCAPE) are now implemented
 KNOWN_PREFIXES: dict = {}
 
+# files whose success-only cases run as execute-smokes (the reference's
+# real-world offline scenarios and long-window deploys assert only that
+# the statement runs)
+SMOKE_FILES = {
+    "test_ads.yaml", "test_credit.yaml", "test_fqz_studio.yaml",
+    "test_jd.yaml", "test_news.yaml", "long_window.yaml",
+}
+
 
 @pytest.mark.parametrize("path", FILES, ids=[f.rsplit("/", 1)[-1] for f in FILES])
 def test_reference_yaml_file(spark, path):
@@ -94,7 +111,7 @@ def test_reference_yaml_file(spark, path):
         if any(f == fname and cid.startswith(p) for f, p in KNOWN_PREFIXES):
             diverge += 1
             continue
-        r, msg = run_case(spark, case)
+        r, msg = run_case(spark, case, smoke_success=fname in SMOKE_FILES)
         if r is True:
             ok += 1
         elif r is None:
