@@ -1277,6 +1277,13 @@ def _parse_bound(txt: str) -> tuple[int | None, bool, bool]:
     return v, is_open, False
 
 
+def _db_flat(db: str, tbl: str) -> str:
+    """Flat registry token for a db-qualified table (``db1.t0`` →
+    ``__db_db1__t0__``) — a plain identifier, so every downstream
+    regex/parse path treats it like any other table name."""
+    return f"__db_{db}__{tbl}__"
+
+
 class SqlEngine:
     """Register DataFrames as tables, then ``sql(text)``."""
 
@@ -1286,6 +1293,14 @@ class SqlEngine:
         self.spark = spark
         self.tables: dict[str, DataFrame] = {}
         self.index_ts: dict[str, str] = {}
+        # multi-database namespaces (reference ddl/CREATE_DATABASE
+        # semantics, cases/function/multiple_databases): db → {table →
+        # df}; current_db is the USE-selected default namespace
+        self.databases: dict[str, dict[str, DataFrame]] = {}
+        self.current_db: str | None = None
+        # session variables (SET @@k = v — execute_mode etc. are
+        # accepted and recorded; the engine is always the offline path)
+        self.session_vars: dict[str, str] = {}
         # DEPLOY registry: name → {sql, main, options}
         self.deployments: dict[str, dict] = {}
         # expose composite scalar functions (earth_distance …) to SQL
@@ -1299,10 +1314,19 @@ class SqlEngine:
             spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
             SqlEngine._REGISTERED_SESSIONS.add(key)
 
-    def register(self, name: str, df: DataFrame, index_ts: str | None = None) -> None:
+    def register(self, name: str, df: DataFrame, index_ts: str | None = None,
+                 db: str | None = None) -> None:
         """``index_ts`` mirrors the reference's INDEX(..., ts=col): it
         determines storage iteration order, which defines unordered
-        LAST JOIN's pick (the min-ts match)."""
+        LAST JOIN's pick (the min-ts match). ``db`` registers the table
+        inside a named database; it is then addressable as ``db.name``
+        (or bare when ``current_db == db``)."""
+        if db:
+            dbl = db.lower()
+            self.databases.setdefault(dbl, {})[name.lower()] = df
+            if index_ts:
+                self.index_ts[_db_flat(dbl, name.lower())] = index_ts
+            return
         self.tables[name.lower()] = df
         if index_ts:
             self.index_ts[name.lower()] = index_ts
@@ -1482,8 +1506,21 @@ class SqlEngine:
         if local and n in local:
             return local[n]
         if n not in self.tables:
+            # bare name falls back to the USE-selected database
+            if self.current_db:
+                d = self.databases.get(self.current_db)
+                if d and n in d:
+                    return d[n]
             raise ValueError(f"unknown table {name!r}")
         return self.tables[n]
+
+    def _index_ts_for(self, name: str) -> str | None:
+        """index-ts lookup honoring the current database for bare
+        names (db-qualified names were flattened before parse)."""
+        ts = self.index_ts.get(name)
+        if ts is None and self.current_db:
+            ts = self.index_ts.get(_db_flat(self.current_db, name))
+        return ts
 
     # --- DDL (reference CreateTablePlan.scala / InsertPlan.scala) -----
 
@@ -1694,6 +1731,24 @@ class SqlEngine:
         tbl, col = m.group(1).lower(), m.group(2)
         return self._colmap.get((tbl, col.lower()), col)
 
+    def _flatten_db_names(self, s: str) -> str:
+        """``db.tbl`` → flat registry token for registered tables;
+        ``current_db.x`` → bare ``x`` (default-db qualification is a
+        no-op, covering subquery aliases: multiple_databases id=7/9).
+        Unknown-db qualifications are left for resolution to reject."""
+        def rep(m):
+            db, tbl = m.group(1).lower(), m.group(2)
+            d = self.databases.get(db)
+            if d is not None and tbl.lower() in d:
+                flat = _db_flat(db, tbl.lower())
+                self._local_tables[flat] = d[tbl.lower()]
+                return flat
+            if db == self.current_db:
+                return tbl
+            return m.group(0)
+
+        return re.sub(r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b", rep, s)
+
     def _rewrite_refs(self, expr: str) -> str:
         return _map_outside_strings(expr, self._rewrite_refs_code)
 
@@ -1732,6 +1787,36 @@ class SqlEngine:
         # '!expr' prefix negation (dialect) → ANSI NOT (keep '!=')
         q = text.replace("`", "").strip().rstrip(";").strip()
         q = _strip_hash_comments(q)
+        mdb = re.match(
+            r"(?is)^(CREATE|DROP)\s+DATABASE\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?"
+            r"([A-Za-z_]\w*)\s*$", q)
+        if mdb:
+            dbl = mdb.group(2).lower()
+            if mdb.group(1).upper() == "CREATE":
+                self.databases.setdefault(dbl, {})
+            else:
+                self.databases.pop(dbl, None)
+                if self.current_db == dbl:
+                    self.current_db = None
+            return self.spark.range(0).select(F.lit(dbl).alias("database"))
+        muse = re.match(r"(?is)^USE\s+([A-Za-z_]\w*)\s*$", q)
+        if muse:
+            self.current_db = muse.group(1).lower()
+            self.databases.setdefault(self.current_db, {})
+            return self.spark.range(0).select(F.lit(self.current_db).alias("database"))
+        mset = re.match(r"(?is)^SET\s+(@@?[\w.]+)\s*=\s*(.+)$", q)
+        if mset:
+            # session variables (reference SET_STATEMENT.md). The engine
+            # IS the offline batch path, so execute_mode et al. are
+            # recorded but do not change execution.
+            self.session_vars[mset.group(1).lstrip("@").lower()] = \
+                mset.group(2).strip().strip("'\"")
+            return self.spark.range(0)
+        if self.databases:
+            # flatten db-qualified table names to plain identifiers so
+            # every downstream parse path (FROM chains, window refs,
+            # three-part column refs) sees ordinary table tokens
+            q = _map_outside_strings(q, self._flatten_db_names)
         if re.match(r"(?is)^CREATE\s+TABLE\b", q):
             return self._ddl_create(q)
         if re.match(r"(?is)^CREATE\s+(AGGREGATE\s+)?FUNCTION\b", q):
@@ -2009,11 +2094,11 @@ class SqlEngine:
             order_raw = order_ref.split(".")[-1] if order_ref else None
             # "last" of an ASC iteration is the max; of DESC, the min
             pick = "min" if (order_dir or "").lower() == "desc" else "max"
-            if order_raw is None and rtbl in self.index_ts:
+            if order_raw is None and self._index_ts_for(rtbl):
                 # unordered LAST JOIN follows storage iteration order:
                 # newest index-ts first, first match kept ⇒ max index ts
                 # (test_lastjoin_simple.yaml id 4-5)
-                order_raw = self.index_ts[rtbl]
+                order_raw = self._index_ts_for(rtbl)
 
             cond_col = None
             if residual:

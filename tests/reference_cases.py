@@ -303,6 +303,11 @@ def _run_case_in_corpus_tz(spark, case: dict, expect: dict):
     from openmldb_spark.sql import SqlEngine
 
     eng = SqlEngine(spark)
+    case_db = case.get("db")
+    if case_db:
+        # case-level default database (multiple_databases corpus)
+        eng.current_db = str(case_db).lower()
+        eng.databases.setdefault(eng.current_db, {})
     names = [f"t{i}" for i in range(len(case.get("inputs", [])))]
     for i, inp in enumerate(case.get("inputs", [])):
         if "resource" in inp:
@@ -331,7 +336,9 @@ def _run_case_in_corpus_tz(spark, case: dict, expect: dict):
             if len(parts) >= 3 and parts[2]:
                 index_ts = parts[2]
                 break
-        eng.register(name, build_df(spark, inp), index_ts=index_ts)
+        inp_db = inp.get("db")
+        eng.register(name, build_df(spark, inp), index_ts=index_ts,
+                     db=str(inp_db).lower() if inp_db else None)
     sql = _subst_tables(case["sql"], names)
 
     params = case.get("parameters")

@@ -30,6 +30,7 @@ FILES = (
         "/root/reference/cases/function/dml/multi_insert.yaml",
         "/root/reference/cases/function/ddl/test_create.yaml",
         "/root/reference/cases/function/test_feature_zero_function.yaml",
+        "/root/reference/cases/function/multiple_databases/test_multiple_databases.yaml",
         "/root/reference/cases/query/udaf_query.yaml",
         "/root/reference/cases/query/left_join.yml",
         "/root/reference/cases/query/last_join_subquery_window.yml",
