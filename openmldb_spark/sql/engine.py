@@ -644,10 +644,15 @@ def _rewrite_cate_group(sql: str, df: DataFrame | None) -> str:
     contexts never reach here (they were placeholdered earlier)."""
     int_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
-    def make(base: str, has_where: bool):
+    def make(base: str, has_where: bool, topn: bool = False):
         def go(args):
-            if len(args) != (3 if has_where else 2):
+            want = (3 if has_where else 2) + (1 if topn else 0)
+            if len(args) != want:
                 return None
+            n = None
+            if topn:
+                n = args[-1].strip()
+                args = args[:-1]
             v, k = args[0], args[-1]
             gate = f"({k}) IS NOT NULL AND ({v}) IS NOT NULL"
             if has_where:
@@ -667,6 +672,23 @@ def _rewrite_cate_group(sql: str, df: DataFrame | None) -> str:
                 fmt = "format_string('%f', acc.a)"
             upd = {"count": "acc.a", "sum": "acc.a + x.v", "avg": "acc.a + x.v",
                    "min": "least(acc.a, x.v)", "max": "greatest(acc.a, x.v)"}[base]
+            if topn:
+                # per-key results flush (ascending key order) into an
+                # array; top_n_key = the n LARGEST keys, descending
+                zero = ("named_struct('arr', CAST(array() AS ARRAY<STRING>), "
+                        "'k', CAST(NULL AS STRING), "
+                        "'a', CAST(0 AS DOUBLE), 'c', CAST(0 AS BIGINT))")
+                flush = ("IF(acc.k IS NULL, acc.arr, "
+                         f"array_append(acc.arr, concat(acc.k, ':', {fmt})))")
+                merge = (
+                    "(acc, x) -> IF(acc.k IS NOT NULL AND CAST(x.k AS STRING) = acc.k, "
+                    f"named_struct('arr', acc.arr, 'k', acc.k, 'a', {upd}, 'c', acc.c + 1L), "
+                    f"named_struct('arr', {flush}, "
+                    "'k', CAST(x.k AS STRING), 'a', x.v, 'c', 1L))"
+                )
+                finish = (f"acc -> IF(acc.k IS NULL, '', "
+                          f"array_join(slice(reverse({flush}), 1, {n}), ','))")
+                return f"aggregate({pairs}, {zero}, {merge}, {finish})"
             zero = ("named_struct('s', '', 'k', CAST(NULL AS STRING), "
                     "'a', CAST(0 AS DOUBLE), 'c', CAST(0 AS BIGINT))")
             merge = (
@@ -681,6 +703,10 @@ def _rewrite_cate_group(sql: str, df: DataFrame | None) -> str:
         return go
 
     for base in ("count", "sum", "avg", "min", "max"):
+        sql = _rewrite_call(sql, f"top_n_key_{base}_cate_where",
+                            make(base, True, topn=True))
+        sql = _rewrite_call(sql, f"top_n_key_{base}_cate",
+                            make(base, False, topn=True))
         sql = _rewrite_call(sql, f"{base}_cate_where", make(base, True))
         sql = _rewrite_call(sql, f"{base}_cate", make(base, False))
     return sql
@@ -1723,10 +1749,15 @@ class SqlEngine:
 
     def _strip_tbl(self, expr: str) -> str:
         """``t1.c3`` → flattened column name (joined right cols got
-        prefixed); bare names pass through."""
+        prefixed); bare names resolve through the joined right-column
+        map when they only exist on a join side (``min(c9) OVER w``
+        with c9 from the LAST JOINed table — test_batch_request id=2)."""
         e = expr.strip()
         m = re.fullmatch(r"([A-Za-z_]\w*)\.([A-Za-z_]\w*)", e)
         if not m:
+            bare = getattr(self, "_bare_map", None)
+            if bare and re.fullmatch(r"[A-Za-z_]\w*", e):
+                return bare.get(e.lower(), e)
             return e
         tbl, col = m.group(1).lower(), m.group(2)
         return self._colmap.get((tbl, col.lower()), col)
@@ -1984,6 +2015,11 @@ class SqlEngine:
         # alias so qualified references keep resolving
         req_ctx = getattr(self, "_request_ctx", None)
         req_active = req_ctx is not None and base_tbl == self._REQ_VIEW
+        # request mode: stored history rides through the same join
+        # chain as the request rows — window frames read JOINED history
+        # rows (test_batch_request id=2: min(c9) over frame where c9
+        # comes from the LAST JOINed dim table)
+        hist_df = req_ctx["history"] if req_active else None
         # optional alias on the base table ("FROM t0 a" / "FROM t0 AS a")
         alias_toks = [t for t in toks[1:] if t.lower() != "as"]
         aliases = [base_tbl] + [a.lower() for a in alias_toks]
@@ -2059,8 +2095,10 @@ class SqlEngine:
                 # columns, lower to a native left outer join — Catalyst
                 # extracts the equi keys from the predicate itself
                 right2 = right.select(*[F.col(c).alias(f"{prefix}{c}") for c in right.columns])
-                cond_col = F.expr(_cond_expr(cond_txt))
-                df = df.join(right2, cond_col, "left")
+                df = df.join(right2, F.expr(_cond_expr(cond_txt)), "left")
+                if hist_df is not None:
+                    hist_df = hist_df.join(
+                        right2, F.expr(_cond_expr(cond_txt)), "left")
                 continue
 
             # split conjunction into equi keys / asof / residual;
@@ -2111,28 +2149,30 @@ class SqlEngine:
                 and eqs and (order_raw is None or order_raw == asof_r)
                 and pick == "max"
             )
-            if pure_asof:
-                # fully-native sorted-merge path: one shuffle, no row
-                # explosion (VERDICT r1 'what's wrong' #2) — the shuffle
-                # row_number strategy stays for residual conditions
-                df = last_join(
-                    df, right, on=[(l, r) for l, r in eqs],
-                    asof_left_ts=asof_l, asof_right_ts=asof_r,
-                    strict=strict, how="union_asof", right_prefix=prefix,
-                )
-                # materialize prefixed right KEY columns (NULL when the
-                # left row found no match) so SELECT can address them,
-                # matching the row_number strategy's output
-                matched = F.col(f"{prefix}{asof_r}").isNotNull()
-                for lk, rk in eqs:
-                    pk = f"{prefix}{rk}"
-                    if pk not in df.columns:
-                        df = df.withColumn(pk, F.when(matched, F.col(lk)))
-            else:
+            def _apply_last_join(d):
+                if pure_asof:
+                    # fully-native sorted-merge path: one shuffle, no
+                    # row explosion (VERDICT r1 'what's wrong' #2) —
+                    # the shuffle row_number strategy stays for
+                    # residual conditions
+                    d = last_join(
+                        d, right, on=[(l, r) for l, r in eqs],
+                        asof_left_ts=asof_l, asof_right_ts=asof_r,
+                        strict=strict, how="union_asof", right_prefix=prefix,
+                    )
+                    # materialize prefixed right KEY columns (NULL when
+                    # the left row found no match) so SELECT can address
+                    # them, matching the row_number strategy's output
+                    matched = F.col(f"{prefix}{asof_r}").isNotNull()
+                    for lk, rk in eqs:
+                        pk = f"{prefix}{rk}"
+                        if pk not in d.columns:
+                            d = d.withColumn(pk, F.when(matched, F.col(lk)))
+                    return d
                 # SQL surface keeps right key columns addressable
                 # (prefixed) and NULL for unmatched left rows
-                df = last_join(
-                    df,
+                return last_join(
+                    d,
                     right,
                     on=[(l, r) for l, r in eqs],
                     order_by=order_raw,
@@ -2145,6 +2185,10 @@ class SqlEngine:
                     prefix_keys=True,
                     pick=pick,
                 )
+
+            df = _apply_last_join(df)
+            if hist_df is not None:
+                hist_df = _apply_last_join(hist_df)
 
         # WINDOW feature passes — staged: stage L applies its temp
         # columns, then its window aggregates; aggregates whose
@@ -2243,7 +2287,7 @@ class SqlEngine:
                     # frames from the stored history (RequestUnion);
                     # INSTANCE_NOT_IN_WINDOW isolates concurrent
                     # requests for the same key when needed
-                    union = [req_ctx["history"]] + (union or [])
+                    union = [hist_df] + (union or [])
                     if self._request_needs_inw(req_ctx, spec, df):
                         spec = replace(spec, instance_not_in_window=True)
                 if union:

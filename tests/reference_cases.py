@@ -341,6 +341,19 @@ def _run_case_in_corpus_tz(spark, case: dict, expect: dict):
                      db=str(inp_db).lower() if inp_db else None)
     sql = _subst_tables(case["sql"], names)
 
+    breq = case.get("batch_request")
+    if breq:
+        # batch-request case (function/test_batch_request.yaml): the
+        # SQL runs in request mode — each batch_request row is an
+        # independent request anchor served against input 0 as stored
+        # history (engine DEPLOY + request(), the RequestUnion path)
+        try:
+            eng.sql("DEPLOY __case__ " + sql.rstrip("; \n"))
+            got = eng.request("__case__", build_df(spark, breq)).toPandas()
+        except Exception as ex:  # noqa: BLE001
+            return False, f"ENGINE ERROR: {type(ex).__name__}: {str(ex)[:300]}"
+        return _compare(got, case, expect)
+
     params = case.get("parameters")
     if params:
         # request-mode parameterized query: substitute '?' positionally
@@ -386,7 +399,16 @@ def _run_case_in_corpus_tz(spark, case: dict, expect: dict):
             got = eng.sql(sql).toPandas()
     except Exception as ex:  # noqa: BLE001
         return False, f"ENGINE ERROR: {type(ex).__name__}: {str(ex)[:200]}"
+    return _compare(got, case, expect)
 
+
+def _compare(got, case: dict, expect: dict):
+    if not (expect.get("columns") or expect.get("schema")):
+        # count-only expectation (full-table scan repeat cases)
+        cnt = expect.get("count")
+        if cnt is not None and len(got) != int(cnt):
+            return False, f"rows: got {len(got)} want count={cnt}"
+        return True, "ok (count only)"
     exp_schema = parse_schema(expect.get("columns") or expect["schema"])
     raw_rows = expect.get("rows")
     if raw_rows is None and "data" in expect:

@@ -31,6 +31,13 @@ FILES = (
         "/root/reference/cases/function/ddl/test_create.yaml",
         "/root/reference/cases/function/test_feature_zero_function.yaml",
         "/root/reference/cases/function/multiple_databases/test_multiple_databases.yaml",
+        "/root/reference/cases/function/test_batch_request.yaml",
+        "/root/reference/cases/function/test_index_optimized.yaml",
+        "/root/reference/cases/function/tmp/test_current_time.yaml",
+        "/root/reference/cases/integration_test/window/window_attributes.yaml",
+        "/root/reference/cases/integration_test/window/test_current_row.yaml",
+        "/root/reference/cases/integration_test/function/test_udaf_table.yaml",
+        "/root/reference/cases/integration_test/select/test_full_table.yaml",
         "/root/reference/cases/query/udaf_query.yaml",
         "/root/reference/cases/query/left_join.yml",
         "/root/reference/cases/query/last_join_subquery_window.yml",
