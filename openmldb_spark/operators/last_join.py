@@ -126,7 +126,10 @@ def _rownum_join(left, right, keys, order_by, condition,
 
     cond = None
     for lk, rk in keys:
-        c = lt[lk] == right2[m[rk]]
+        # null-safe: a NULL key is a real index bucket in the dialect
+        # (test_lastjoin_simple id=19 joins NULL to NULL); Spark still
+        # plans <=> as an equi-join key
+        c = lt[lk].eqNullSafe(right2[m[rk]])
         cond = c if cond is None else (cond & c)
     if asof_left_ts and asof_right_ts:
         rc = right2[m[asof_right_ts]]

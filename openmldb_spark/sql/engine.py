@@ -10,6 +10,14 @@ Grammar parity targets (``docs/en/openmldb_sql/dql/``):
   [INSTANCE_NOT_IN_WINDOW])`` (WINDOW_CLAUSE.md) — lowered onto
   ``operators.window.window_agg`` (native Catalyst path when the frame
   allows, Arrow kernel otherwise).
+- DDL / DML statements: ``CREATE TABLE`` / ``INSERT INTO`` /
+  ``DROP TABLE`` / ``CREATE [AGGREGATE] FUNCTION`` /
+  ``CREATE|DROP DATABASE`` / ``USE`` / ``SET @@var`` /
+  ``DELETE FROM t WHERE key-cond`` (DELETE_STATEMENT.md) /
+  ``SELECT ... INTO OUTFILE 'p' [OPTIONS(...)]``
+  (SELECT_INTO_STATEMENT.md) / ``LOAD DATA INFILE 'p' INTO TABLE t``
+  (LOAD_DATA_STATEMENT.md) / ``DEPLOY`` + :meth:`SqlEngine.request`
+  (request-mode serving over stored history).
 - everything else (plain projections, WHERE/GROUP BY/HAVING/ORDER
   BY/LIMIT, scalar functions) is handed to Spark SQL verbatim, so the
   full Catalyst optimizer applies.
@@ -782,6 +790,13 @@ def _rewrite_bool_fn_args(sql: str, bool_cols: set[str]) -> str:
                           lambda t: f"CAST({t} AS INT)")
 
 
+def _rewrite_div_zero(sql: str) -> str:
+    """Dialect ``x / 0`` yields NULL (test_condition id 11-1/11-3); ANSI
+    Spark raises DIVIDE_BY_ZERO. Literal-zero denominators only."""
+    return re.sub(r"(?<![\w.])([\w.`]+)\s*/\s*(0+(?:\.0+)?)(?![\w.])",
+                  r"try_divide(\1, \2)", sql)
+
+
 def _rewrite_log_zero(sql: str) -> str:
     """Dialect log functions follow C semantics at 0: log(0) = -inf
     (Spark returns NULL — function/test_calculate id=4)."""
@@ -1324,9 +1339,13 @@ class SqlEngine:
         # df}; current_db is the USE-selected default namespace
         self.databases: dict[str, dict[str, DataFrame]] = {}
         self.current_db: str | None = None
-        # session variables (SET @@k = v — execute_mode etc. are
-        # accepted and recorded; the engine is always the offline path)
+        # session variables (SET @@k = v). execute_mode selects which
+        # of a table's TWO stores statements read/write — the
+        # reference's cluster model keeps separate online (serving) and
+        # offline (batch) storage per table (LOAD_DATA_STATEMENT.md;
+        # out_in corpus flips modes mid-script)
         self.session_vars: dict[str, str] = {}
+        self.offline_tables: dict[str, DataFrame] = {}
         # DEPLOY registry: name → {sql, main, options}
         self.deployments: dict[str, dict] = {}
         # expose composite scalar functions (earth_distance …) to SQL
@@ -1457,6 +1476,192 @@ class SqlEngine:
             "sql": sel, "main": main, "options": (m.group(3) or "").strip()}
         return self.spark.range(0).select(F.lit(name).alias("deployment"))
 
+    # --- DML: DELETE / LOAD DATA INFILE / SELECT INTO OUTFILE ---------
+    # (reference DELETE_STATEMENT.md, LOAD_DATA_STATEMENT.md,
+    # SELECT_INTO_STATEMENT.md; offline parquet/csv semantics from
+    # LoadDataPlan.scala / SelectIntoPlan.scala)
+
+    def _update_table(self, name: str, df: DataFrame) -> None:
+        """Replace a registered table in whichever namespace holds it
+        (plain registry, flattened ``db.tbl`` token, or current db).
+        Under ``execute_mode=offline`` the write targets the table's
+        offline store, leaving online data untouched."""
+        n = name.lower()
+        if self._exec_mode() == "offline":
+            self._table(n)  # validate the definition exists
+            self.offline_tables[n] = df
+            return
+        if n in self.tables:
+            self.tables[n] = df
+            return
+        mdb = re.fullmatch(r"__db_(\w+?)__(\w+?)__", n)
+        if mdb and mdb.group(1) in self.databases:
+            self.databases[mdb.group(1)][mdb.group(2)] = df
+            self._local_tables[n] = df
+            return
+        if self.current_db:
+            d = self.databases.get(self.current_db)
+            if d is not None and n in d:
+                d[n] = df
+                return
+        raise ValueError(f"unknown table {name!r}")
+
+    def _dml_delete(self, tbl: str, cond: str) -> DataFrame:
+        df = self._table(tbl)
+        # key = NULL means "the NULL key bucket" in the dialect, not
+        # three-valued UNKNOWN (DELETE_STATEMENT.md)
+        c = re.sub(r"(?is)([\w.]+)\s*=\s*null\b", r"\1 IS NULL", cond.strip())
+        # ts-key comparisons use epoch-ms integer literals
+        ts_cols = {f.name.lower() for f in df.schema.fields
+                   if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType))}
+        def ts_cmp(m):
+            if m.group(1).lower() in ts_cols:
+                return f"unix_millis({m.group(1)}) {m.group(2)} {m.group(3)}"
+            return m.group(0)
+        c = re.sub(r"(\w+)\s*(=|!=|<>|>=|<=|>|<)\s*(\d{10,})\b", ts_cmp, c)
+        c = self._finalize_expr(c, df)
+        kept = df.filter(~F.coalesce(F.expr(c).cast("boolean"), F.lit(False)))
+        self._update_table(tbl, kept)
+        return self.spark.range(0)
+
+    _OUT_DEFAULTS = {"format": "csv", "delimiter": ",", "header": "true",
+                     "null_value": "null", "mode": "error_if_exists"}
+
+    @staticmethod
+    def _parse_options(txt: str | None) -> dict[str, str]:
+        out = {}
+        for m in re.finditer(r"(\w+)\s*=\s*(?:'([^']*)'|\"([^\"]*)\"|([^,\s]+))",
+                             txt or ""):
+            v = m.group(2) if m.group(2) is not None else (
+                m.group(3) if m.group(3) is not None else m.group(4))
+            out[m.group(1).lower()] = v
+        return out
+
+    def _io_path(self, path: str) -> str:
+        """Relative OUTFILE/INFILE paths land in a per-engine scratch
+        dir (the reference resolves them against the server's cwd)."""
+        if path.startswith(("/", "file://", "hdfs://", "s3", "hive://")):
+            return path
+        if not hasattr(self, "_scratch"):
+            import tempfile
+
+            self._scratch = tempfile.mkdtemp(prefix="omldb_io_")
+        return f"{self._scratch}/{path}"
+
+    def _write_outfile(self, df: DataFrame, path: str, opts_txt: str | None) -> None:
+        opts = {**self._OUT_DEFAULTS, **self._parse_options(opts_txt)}
+        fmt = opts["format"].lower()
+        if fmt not in ("csv", "parquet", "json"):
+            raise ValueError(f"unsupported SELECT INTO format {fmt!r}")
+        mode = {"error_if_exists": "errorifexists", "error": "errorifexists",
+                "append": "append", "overwrite": "overwrite"}.get(opts["mode"].lower())
+        if mode is None:
+            raise ValueError(f"unsupported SELECT INTO mode {opts['mode']!r}")
+        if opts["header"].lower() not in ("true", "false"):
+            raise ValueError(f"bad header option {opts['header']!r}")
+        p = self._io_path(path)
+        meta = getattr(self, "_outfile_meta", None)
+        if meta is None:
+            meta = self._outfile_meta = {}
+        if fmt == "csv" and mode == "append" and p in meta \
+                and self._exec_mode() != "offline":
+            # ONLINE export appends DATA rows to one physical file (the
+            # original header line governs the whole file); Spark's
+            # directory-append would give each part its own header
+            # setting, so emulate: read back with the file's original
+            # options, union, rewrite under those options. OFFLINE
+            # export is the reference's own Spark job — native
+            # directory append (one new part per write, headered by the
+            # current options) is exactly its behavior
+            old_opts, schema = meta[p]
+            old = (self.spark.read.schema(schema)
+                   .option("header", old_opts["header"].lower())
+                   .option("delimiter", old_opts["delimiter"])
+                   .option("nullValue", old_opts["null_value"])
+                   .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+                   .csv(p))
+            combined = old.unionByName(
+                df.toDF(*schema.fieldNames()), allowMissingColumns=False)
+            # materialize before overwriting the dir being read
+            rows = combined.collect()
+            out = self.spark.createDataFrame(rows, schema)
+            (out.coalesce(1).write.mode("overwrite")
+             .option("header", old_opts["header"].lower())
+             .option("delimiter", old_opts["delimiter"])
+             .option("nullValue", old_opts["null_value"])
+             .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+             .csv(p))
+            return
+        if fmt == "csv":
+            # the reference emits ONE csv file (a header=true reader
+            # skips exactly one line); parquet/json exports stay
+            # distributed
+            writer = (df.coalesce(1).write.mode(mode)
+                      .option("header", opts["header"].lower())
+                      .option("delimiter", opts["delimiter"])
+                      .option("nullValue", opts["null_value"])
+                      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"))
+        else:
+            writer = df.write.mode(mode)
+        getattr(writer, fmt)(p)
+        if fmt == "csv":
+            meta[p] = (opts, df.schema)
+
+    def _dml_load_data(self, path: str, tbl: str, opts_txt: str | None) -> DataFrame:
+        cur = self._table(tbl)
+        opts = {**self._OUT_DEFAULTS, "mode": "append",
+                **self._parse_options(opts_txt)}
+        fmt = opts["format"].lower()
+        if fmt not in ("csv", "parquet", "json"):
+            raise ValueError(f"unsupported LOAD DATA format {fmt!r}")
+        p = self._io_path(path)
+        if fmt == "csv":
+            # timestamp columns accept BOTH encodings the reference
+            # does (LOAD_DATA_STATEMENT.md): epoch-ms integers and
+            # wall-clock strings ('yyyy-MM-dd HH:mm:ss[.S]', ISO) —
+            # read them as strings and convert per value
+            ts_fields = {f.name for f in cur.schema.fields
+                         if isinstance(f.dataType,
+                                       (T.TimestampType, T.TimestampNTZType))}
+            rd_schema = T.StructType([
+                T.StructField(f.name, T.StringType() if f.name in ts_fields
+                              else f.dataType, True)
+                for f in cur.schema.fields])
+            raw = (self.spark.read.schema(rd_schema)
+                   .option("header", opts["header"].lower())
+                   .option("delimiter", opts["delimiter"])
+                   .option("nullValue", opts["null_value"])
+                   .csv(p))
+            new = raw.select(*[
+                F.when(F.col(f.name).rlike("^-?[0-9]+$"),
+                       F.timestamp_millis(F.col(f.name).cast("bigint")))
+                 .otherwise(F.expr(f"TRY_CAST(`{f.name}` AS TIMESTAMP)"))
+                 .alias(f.name)
+                if f.name in ts_fields else F.col(f.name)
+                for f in cur.schema.fields])
+        elif fmt == "json":
+            new = self.spark.read.schema(cur.schema).json(p)
+        else:
+            from openmldb_spark.sources.io import _validate
+
+            new = _validate(self.spark.read.parquet(p), cur.schema, p)
+        mode = opts["mode"].lower()
+        if mode == "overwrite":
+            out = new
+        elif mode == "append":
+            out = cur.unionByName(new)
+        elif mode in ("error_if_exists", "error"):
+            # the target store must hold no data yet
+            if not cur.isEmpty():
+                raise ValueError(
+                    f"LOAD DATA mode=error_if_exists: table {tbl!r} "
+                    f"already has data in the {self._exec_mode()} store")
+            out = new
+        else:
+            raise ValueError(f"unsupported LOAD DATA mode {mode!r}")
+        self._update_table(tbl, out)
+        return self.spark.range(0)
+
     def _show_deployments(self, name: str | None) -> DataFrame:
         rows = [
             (n, d["main"], d["sql"]) for n, d in sorted(self.deployments.items())
@@ -1521,6 +1726,9 @@ class SqlEngine:
             iso[keys] = requests_isolated(src, list(keys))
         return not iso[keys]
 
+    def _exec_mode(self) -> str:
+        return (self.session_vars.get("execute_mode") or "online").lower()
+
     def _table(self, name: str) -> DataFrame:
         n = name.lower()
         if n == self._REQ_VIEW:
@@ -1528,17 +1736,26 @@ class SqlEngine:
             if ctx is not None:
                 return ctx["requests"]
             raise ValueError("request view is only valid inside request()")
+        offline = self._exec_mode() == "offline"
+        if offline and n in self.offline_tables:
+            # offline stores are written only by explicit offline
+            # LOAD/DELETE — they outrank the per-statement flattened
+            # name cache (which carries the online registry entry)
+            return self.offline_tables[n]
         local = getattr(self, "_local_tables", None)
         if local and n in local:
-            return local[n]
+            return local[n].limit(0) if (offline and n.startswith("__db_")) \
+                else local[n]
         if n not in self.tables:
             # bare name falls back to the USE-selected database
             if self.current_db:
                 d = self.databases.get(self.current_db)
                 if d and n in d:
-                    return d[n]
+                    return d[n].limit(0) if offline else d[n]
             raise ValueError(f"unknown table {name!r}")
-        return self.tables[n]
+        # offline store starts empty — the table definition (schema)
+        # comes from the registered table either way
+        return self.tables[n].limit(0) if offline else self.tables[n]
 
     def _index_ts_for(self, name: str) -> str | None:
         """index-ts lookup honoring the current database for bare
@@ -1840,8 +2057,9 @@ class SqlEngine:
             # session variables (reference SET_STATEMENT.md). The engine
             # IS the offline batch path, so execute_mode et al. are
             # recorded but do not change execution.
-            self.session_vars[mset.group(1).lstrip("@").lower()] = \
-                mset.group(2).strip().strip("'\"")
+            key = mset.group(1).lstrip("@").lower()
+            key = key.removeprefix("session.").removeprefix("global.")
+            self.session_vars[key] = mset.group(2).strip().strip("'\"")
             return self.spark.range(0)
         if self.databases:
             # flatten db-qualified table names to plain identifiers so
@@ -1866,6 +2084,37 @@ class SqlEngine:
                     and not re.match(r"(?is)^DROP\s+DEPLOYMENT\s+IF\s+EXISTS\b", q):
                 raise ValueError(f"unknown deployment {name!r}")
             return self.spark.range(0).select(F.lit(name).alias("deployment"))
+        mdel = re.match(r"(?is)^DELETE\s+FROM\s+([A-Za-z_]\w*)\s+WHERE\s+(.+)$", q)
+        if mdel:
+            return self._dml_delete(mdel.group(1), mdel.group(2))
+        mdt = re.match(r"(?is)^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*$", q)
+        if mdt:
+            n = mdt.group(1).lower()
+            found = self.tables.pop(n, None) is not None
+            self.index_ts.pop(n, None)
+            self.offline_tables.pop(n, None)
+            mdb = re.fullmatch(r"__db_(\w+?)__(\w+?)__", n)
+            if mdb and self.databases.get(mdb.group(1), {}).pop(mdb.group(2), None) is not None:
+                found = True
+            if self.current_db and self.databases.get(self.current_db, {}) \
+                    .pop(n, None) is not None:
+                found = True
+            if not found and not re.match(r"(?is)^DROP\s+TABLE\s+IF\s+EXISTS\b", q):
+                raise ValueError(f"unknown table {n!r}")
+            return self.spark.range(0)
+        mload = re.match(
+            r"(?is)^LOAD\s+DATA\s+INFILE\s+'([^']+)'\s+INTO\s+TABLE\s+"
+            r"([A-Za-z_]\w*)\s*(?:OPTIONS\s*\((.*)\))?\s*$", q)
+        if mload:
+            return self._dml_load_data(mload.group(1), mload.group(2),
+                                       mload.group(3))
+        mout = re.match(
+            r"(?is)^(SELECT\b.*?)\bINTO\s+OUTFILE\s+'([^']+)'"
+            r"\s*(?:OPTIONS\s*\((.*)\))?\s*$", q)
+        if mout:
+            df = self._sql(mout.group(1))
+            self._write_outfile(df, mout.group(2), mout.group(3))
+            return df
         # a fully parenthesized statement is its inner statement
         while q.startswith("(") and q.endswith(")"):
             depth = 0
@@ -2344,6 +2593,7 @@ class SqlEngine:
             lambda a: (f"CAST(IF(({a[0]}) >= 0, FLOOR({a[0]}), CEIL({a[0]})) AS DOUBLE)"
                        if len(a) == 1 else None))
         text = _rewrite_fz_scalars(text)
+        text = self._rewrite_dialect_casts(text, df)
         ts_cols = {
             f.name for f in df.schema.fields
             if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType))
@@ -2362,12 +2612,103 @@ class SqlEngine:
             s = _rewrite_bool_arith(s, bool_cols)
             s = _rewrite_bool_fn_args(s, bool_cols)
             s = _rewrite_log_zero(s)
+            s = _rewrite_div_zero(s)
             s = _rewrite_datefn_int(s, int_cols)
             s = _rewrite_cmp_coercions(s, df)
             s = _rewrite_logic_coercions(s, df)
             return _rewrite_ts_arith(s, ts_cols)
 
         return _map_outside_strings(text, code_rewrites)
+
+    def _probe_type(self, expr: str, df: DataFrame):
+        """Spark type of an expression against ``df`` (analysis only —
+        no job); None when it does not resolve."""
+        try:
+            return df.select(F.expr(expr).alias("__p__")).schema[0].dataType
+        except Exception:  # noqa: BLE001
+            return None
+
+    # dialect CAST semantics (expression/test_type.yaml):
+    #   string → T      : malformed input yields NULL (TRY_CAST)
+    #   timestamp → num : epoch MILLISECONDS, wrapping to the int width
+    #   timestamp → bool: ms != 0
+    #   date → num/bool : NULL (the dialect has no such conversion)
+    _CAST_NUM = {"SMALLINT": "SMALLINT", "INT16": "SMALLINT", "INT": "INT",
+                 "INT32": "INT", "INTEGER": "INT", "BIGINT": "BIGINT",
+                 "INT64": "BIGINT", "FLOAT": "FLOAT", "DOUBLE": "DOUBLE"}
+    _CAST_BOOL = {"BOOL", "BOOLEAN"}
+
+    @staticmethod
+    def _wrap_int(expr: str, typ: str) -> str:
+        """Two's-complement wraparound of a BIGINT expression into a
+        narrower integer type (the dialect truncates, ANSI Spark would
+        raise on overflow)."""
+        span = {"SMALLINT": 65536, "INT": 4294967296}.get(typ)
+        if span is None:
+            return f"CAST({expr} AS {typ})"
+        half = span // 2
+        return (f"CAST((({expr} + {half}) % {span} + {span}) % {span} "
+                f"- {half} AS {typ})")
+
+    def _rewrite_dialect_casts(self, text: str, df: DataFrame) -> str:
+        def conv(src: str, typ: str) -> str | None:
+            typ = typ.upper()
+            t = self._probe_type(src, df)
+            if t is None:
+                return None
+            is_ts = isinstance(t, (T.TimestampType, T.TimestampNTZType))
+            if is_ts and typ in self._CAST_NUM:
+                return self._wrap_int(f"unix_millis({src})", self._CAST_NUM[typ])
+            if is_ts and typ in self._CAST_BOOL:
+                return f"(unix_millis({src}) != 0)"
+            if isinstance(t, T.DateType) and (
+                    typ in self._CAST_NUM or typ in self._CAST_BOOL):
+                spark_t = self._CAST_NUM.get(typ, "BOOLEAN")
+                return f"CAST(NULL AS {spark_t})"
+            if isinstance(t, T.StringType) and typ not in ("STRING", "VARCHAR"):
+                spark_t = self._CAST_NUM.get(
+                    typ, "BOOLEAN" if typ in self._CAST_BOOL else typ)
+                return f"TRY_CAST({src} AS {spark_t})"
+            return None
+
+        def cast_fn(args):
+            if len(args) != 1:
+                return None
+            m = re.match(r"(?is)^(.*\S)\s+AS\s+(\w+)\s*$", args[0])
+            if not m:
+                return None
+            return conv(m.group(1), m.group(2))
+
+        text = _rewrite_call(text, "cast", cast_fn)
+        for fn, typ in (("boolean", "BOOLEAN"), ("smallint", "SMALLINT"),
+                        ("int", "INT"), ("bigint", "BIGINT"),
+                        ("float", "FLOAT"), ("double", "DOUBLE")):
+            text = _rewrite_call(
+                text, fn,
+                lambda a, _t=typ: conv(a[0], _t) if len(a) == 1 else None)
+        # ifnull/nvl/nvl2 with one string and one non-string branch:
+        # the dialect coerces to STRING with its own rendering
+        def mixed(fname, idxs):
+            def go(args):
+                want = 3 if fname == "nvl2" else 2
+                if len(args) != want:
+                    return None
+                ts = [self._probe_type(args[i], df) for i in idxs]
+                if any(x is None for x in ts):
+                    return None
+                strs = [isinstance(x, T.StringType) for x in ts]
+                if not (any(strs) and not all(strs)):
+                    return None
+                new = list(args)
+                for i in idxs:
+                    new[i] = _dialect_str(new[i])
+                return f"{fname}({', '.join(new)})"
+            return go
+
+        for fname, idxs in (("ifnull", (0, 1)), ("nvl", (0, 1)),
+                            ("nvl2", (1, 2))):
+            text = _rewrite_call(text, fname, mixed(fname, idxs))
+        return text
 
     def _resolve_table(self, name: str) -> DataFrame:
         """Table name or parenthesized subquery (WINDOW UNION allows

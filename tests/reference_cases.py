@@ -9,6 +9,7 @@ literal rows), ``sql`` with {0},{1} table placeholders, ``expect``
 from __future__ import annotations
 
 import math
+import re
 from datetime import date as _date
 from datetime import datetime, timedelta, timezone
 
@@ -66,6 +67,7 @@ def parse_schema(cols) -> T.StructType:
         cols = [c.strip().replace(":", " ") for c in parts if c.strip()]
     fields = []
     for c in cols:
+        c = re.sub(r"(?i)\s+not\s+null\s*$", "", c.strip())
         name, typ = c.strip().replace(":", " ").rsplit(" ", 1)
         t = typ.strip().lower()
         dt = _TYPES.get(t)
@@ -203,6 +205,43 @@ def build_df(spark, inp: dict):
     return spark.createDataFrame(rows, schema=schema)
 
 
+def _apply_index_ttl(df, idxs: list) -> "object":
+    """Reference storage TTL (``index:key:ts:N:latest``): each index
+    keeps the latest N rows per key; a row is visible while at least
+    one index still holds it (expiry = expired from EVERY index —
+    dml/test_delete.yaml id=24: a no-TTL second index keeps all rows).
+    Time-based ``absolute`` TTLs depend on wall-clock now() and are not
+    replayable — left untouched (their cases carry TODO/skip tags)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    specs = []
+    has_latest = False
+    for idx in idxs:
+        parts = str(idx).split(":")
+        keys = [k for k in (parts[1].split("|") if len(parts) > 1 else []) if k]
+        ts = parts[2] if len(parts) > 2 and parts[2] else None
+        ttl, ttype = (parts[3] if len(parts) > 3 else None,
+                      (parts[4] if len(parts) > 4 else "").lower())
+        if ttype == "latest" and ttl and str(ttl).isdigit() and int(ttl) > 0:
+            specs.append((keys, ts, int(ttl)))
+            has_latest = True
+        else:
+            specs.append((keys, ts, None))
+    if not has_latest or any(ttl is None for _, _, ttl in specs):
+        # a no-TTL index keeps every row alive
+        return df
+    ord_col = "__ins_order__"
+    df = df.withColumn(ord_col, F.monotonically_increasing_id())
+    vis = F.lit(False)
+    for keys, ts, ttl in specs:
+        w = W.partitionBy(*[F.col(k) for k in keys]).orderBy(
+            *([F.col(ts).desc()] if ts else []), F.col(ord_col).desc())
+        vis = vis | (F.row_number().over(w) <= ttl)
+    return df.withColumn("__vis__", vis).filter(F.col("__vis__")) \
+             .drop("__vis__", ord_col)
+
+
 def _subst_tables(sql: str, names: list[str]) -> str:
     for i, name in enumerate(names):
         sql = sql.replace("{" + str(i) + "}", name)
@@ -221,12 +260,16 @@ def load_cases(path: str) -> list[dict]:
 def expand_case(case: dict) -> list[dict]:
     """Expand dataProvider variants: ``d[k]`` tokens in the SQL iterate
     over provider lists; expectProvider overrides expect per variant."""
-    if "sql" not in case and case.get("sqls"):
+    if case.get("sqls"):
         # multi-statement cases (long_window deploys, deploy DDL files)
         # run as one ';'-joined script; the last statement's result is
-        # the compared one
-        case = dict(case, sql="\n;\n".join(str(s).rstrip("; \n") for s in case["sqls"]),
-                    _multi=True)
+        # the compared one. When BOTH sqls and sql are present (dml
+        # test_delete id=4), the sqls run first and the sql is the
+        # compared query.
+        stmts = [str(s).rstrip("; \n") for s in case["sqls"]]
+        if case.get("sql"):
+            stmts.append(str(case["sql"]).rstrip("; \n"))
+        case = dict(case, sql="\n;\n".join(stmts), _multi=True)
     providers = case.get("dataProvider")
     if not providers:
         return [case]
@@ -290,6 +333,10 @@ def run_case(spark, case: dict, smoke_success: bool = False):
         # the reference marks these expectations as broken in its own
         # C++ unit tests
         return None, f"reference TODO tag {tags} (skipped)"
+    if "{currentTime}" in str(case.get("inputs", "")):
+        # wall-clock-relative input rows (data_expiration absolute-TTL
+        # cases) — not replayable deterministically
+        return None, "wall-clock-relative inputs (skipped)"
 
     prev_tz = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", CORPUS_TZ_NAME)
@@ -337,9 +384,20 @@ def _run_case_in_corpus_tz(spark, case: dict, expect: dict):
                 index_ts = parts[2]
                 break
         inp_db = inp.get("db")
-        eng.register(name, build_df(spark, inp), index_ts=index_ts,
+        df_in = _apply_index_ttl(build_df(spark, inp), idxs or [])
+        eng.register(name, df_in, index_ts=index_ts,
                      db=str(inp_db).lower() if inp_db else None)
     sql = _subst_tables(case["sql"], names)
+    if "{root_path}" in sql:
+        # the reference test framework's path template: corpus resource
+        # reads resolve into the read-only reference tree, outputs into
+        # a fresh scratch dir
+        import tempfile
+
+        scratch = tempfile.mkdtemp(prefix="omldb_case_out_")
+        for pre in ("file://{root_path}", "{root_path}"):
+            sql = sql.replace(f"{pre}/cases", "/root/reference/cases")
+            sql = sql.replace(f"{pre}/out", scratch)
 
     breq = case.get("batch_request")
     if breq:
