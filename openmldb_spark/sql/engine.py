@@ -1467,14 +1467,64 @@ class SqlEngine:
             raise ValueError(
                 "DEPLOY requires a plain SELECT over a stored table "
                 "(CTEs cannot be re-anchored to request rows)")
-        mf = re.search(r"(?is)\bFROM\s+([A-Za-z_]\w*|\()", sel)
-        if not mf or mf.group(1) == "(":
+        # the request anchor is the first stored-table FROM — for a
+        # subquery main ("... from (select ... from t0) as t") that is
+        # the innermost scan, which is exactly where RequestUnion
+        # anchors (deploy/test_show_deploy.yaml id=3)
+        mf = re.search(r"(?is)\bFROM\s+([A-Za-z_]\w*)", sel)
+        if not mf:
             raise ValueError("DEPLOY requires SELECT ... FROM <stored table>")
         main = mf.group(1).lower()
         self._table(main)  # validate the main table exists at deploy time
         self.deployments[name] = {
             "sql": sel, "main": main, "options": (m.group(3) or "").strip()}
         return self.spark.range(0).select(F.lit(name).alias("deployment"))
+
+    def _ddl_create_index(self, tbl: str, cols_txt: str,
+                          opts_txt: str | None) -> DataFrame:
+        """``CREATE INDEX name ON t (keys) OPTIONS(ts=, ttl=,
+        ttl_type=)`` (reference CREATE_INDEX_STATEMENT.md). A
+        ``latest``/``absandlat`` TTL registers a read-time visibility
+        rule: queries see only the latest N rows per key — applied
+        lazily so rows inserted later expire older ones too
+        (ddl/test_create_index.yaml id=30). Absolute-time TTLs are
+        wall-clock-relative and register no filter."""
+        n = tbl.lower()
+        self._table(n)  # validate
+        keys = [c.strip() for c in cols_txt.split(",") if c.strip()]
+        opts = self._parse_options(opts_txt)
+        ts = opts.get("ts")
+        ttype = (opts.get("ttl_type") or "").lower()
+        mt = re.search(r"(?i)\bttl\s*=\s*(\([^)]*\)|[^,\s)]+)", opts_txt or "")
+        ttl = (mt.group(1) if mt else "").strip("'\"")
+        keep = None
+        if ttype == "latest" and ttl.isdigit() and int(ttl) > 0:
+            keep = int(ttl)
+        elif ttype == "absandlat":
+            m = re.fullmatch(r"\(?\s*[^,]+,\s*(\d+)\s*\)?", ttl.strip())
+            if m and int(m.group(1)) > 0:
+                keep = int(m.group(1))
+        if keep is not None:
+            if not hasattr(self, "table_ttls"):
+                self.table_ttls: dict[str, list] = {}
+            self.table_ttls.setdefault(n, []).append((keys, ts, keep))
+        return self.spark.range(0)
+
+    def _apply_ttl(self, n: str, df: DataFrame) -> DataFrame:
+        specs = getattr(self, "table_ttls", {}).get(n)
+        if not specs:
+            return df
+        from pyspark.sql import Window as W
+
+        ordc = "__ins_order__"
+        out = df.withColumn(ordc, F.monotonically_increasing_id())
+        keep = F.lit(True)
+        for keys, ts, nkeep in specs:
+            w = W.partitionBy(*[F.col(k) for k in keys]).orderBy(
+                *([F.col(ts).desc()] if ts else []), F.col(ordc).desc())
+            keep = keep & (F.row_number().over(w) <= nkeep)
+        return (out.withColumn("__ttl_keep__", keep)
+                .filter(F.col("__ttl_keep__")).drop("__ttl_keep__", ordc))
 
     # --- DML: DELETE / LOAD DATA INFILE / SELECT INTO OUTFILE ---------
     # (reference DELETE_STATEMENT.md, LOAD_DATA_STATEMENT.md,
@@ -1755,7 +1805,9 @@ class SqlEngine:
             raise ValueError(f"unknown table {name!r}")
         # offline store starts empty — the table definition (schema)
         # comes from the registered table either way
-        return self.tables[n].limit(0) if offline else self.tables[n]
+        if offline:
+            return self.tables[n].limit(0)
+        return self._apply_ttl(n, self.tables[n])
 
     def _index_ts_for(self, name: str) -> str | None:
         """index-ts lookup honoring the current database for bare
@@ -1825,7 +1877,7 @@ class SqlEngine:
         if re.match(r"(?is)^SELECT\b", body):
             incoming = self.sql(body).toDF(*names)
         else:
-            mv = re.match(r"(?is)^VALUES\s*(.*)$", body)
+            mv = re.match(r"(?is)^VALUES?\s*(.*)$", body)
             tuples = []
             t = mv.group(1).strip()
             i = 0
@@ -1865,7 +1917,7 @@ class SqlEngine:
                 incoming = incoming.withColumn(
                     f.name, F.lit(None).cast(f.dataType))
         updated = target.unionByName(incoming.select(*target.columns))
-        self.tables[name.lower()] = updated
+        self._update_table(name, updated)
         return updated
 
     _KEYWORDS = {"on", "order", "last", "where", "group", "window", "limit",
@@ -2061,6 +2113,24 @@ class SqlEngine:
             key = key.removeprefix("session.").removeprefix("global.")
             self.session_vars[key] = mset.group(2).strip().strip("'\"")
             return self.spark.range(0)
+        mdesc = re.match(r"(?is)^DESC(?:RIBE)?\s+([A-Za-z_]\w*)\s*$", q)
+        if mdesc:
+            df = self._table(mdesc.group(1))
+            names = {"smallint": "smallint", "short": "smallint",
+                     "int": "int", "integer": "int", "bigint": "bigint",
+                     "long": "bigint", "float": "float", "double": "double",
+                     "string": "string", "boolean": "bool",
+                     "timestamp": "timestamp", "date": "date"}
+            rows = [(f.name, names.get(f.dataType.simpleString(),
+                                       f.dataType.simpleString()),
+                     "YES" if f.nullable else "NO")
+                    for f in df.schema.fields]
+            return self.spark.createDataFrame(
+                rows, "Field string, Type string, Null string")
+        if re.match(r"(?is)^SHOW\s+(SESSION\s+|GLOBAL\s+)?VARIABLES\s*$", q):
+            return self.spark.createDataFrame(
+                sorted(self.session_vars.items()),
+                "Variable_name string, Value string")
         if self.databases:
             # flatten db-qualified table names to plain identifiers so
             # every downstream parse path (FROM chains, window refs,
@@ -2068,6 +2138,12 @@ class SqlEngine:
             q = _map_outside_strings(q, self._flatten_db_names)
         if re.match(r"(?is)^CREATE\s+TABLE\b", q):
             return self._ddl_create(q)
+        mci = re.match(
+            r"(?is)^CREATE\s+INDEX\s+(\w+)\s+ON\s+([A-Za-z_]\w*)\s*"
+            r"\(([^)]*)\)\s*(?:OPTIONS\s*\((.*)\))?\s*$", q)
+        if mci:
+            return self._ddl_create_index(mci.group(2), mci.group(3),
+                                          mci.group(4))
         if re.match(r"(?is)^CREATE\s+(AGGREGATE\s+)?FUNCTION\b", q):
             return self._ddl_create_function(q)
         if re.match(r"(?is)^INSERT\s+INTO\b", q):

