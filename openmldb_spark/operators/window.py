@@ -2284,7 +2284,11 @@ def _py_agg(agg: Agg, pdf: pd.DataFrame, idxs: list[int]):
     if base == "count":
         return len(xs) if agg.col else len(idxs)
     if base == "distinct_count":
-        return len(set(xs))
+        # NULL rows insert the type DEFAULT (hybridse Update — same
+        # rule as the batch kernel's _fill_na_default; fz_ddl
+        # test_luoji NULL-cId request row)
+        s = _fill_na_default(pdf[agg.col].iloc[idxs])
+        return len(set(s.tolist()))
     if not xs:
         return None
     if base == "sum":

@@ -484,10 +484,15 @@ def _poly_timestamp(x: str) -> str:
     string/date → parse/cast (hybridse: timestamp(-1) is NULL —
     cases/query/const_query.yaml id=10-11). typeof() picks the branch
     so one expression type-checks for every input type."""
-    b = f"CAST(CAST(({x}) AS STRING) AS BIGINT)"
+    # TRY_CAST: Catalyst constant-folds even DEAD CASE branches, so a
+    # plain CAST of a non-numeric string literal would throw at
+    # optimize time under ANSI (fz_sql id=2: timestamp('2019-07-18
+    # 09:20:20') folds the numeric branch). In the live branch the
+    # operand is genuinely numeric, so TRY_CAST ≡ CAST.
+    b = f"TRY_CAST(CAST(({x}) AS STRING) AS BIGINT)"
     return (f"CASE WHEN typeof(({x})) IN {_NUMERIC_TYPEOF} "
             f"THEN timestamp_millis(IF({b} < 0, NULL, {b})) "
-            f"ELSE CAST(CAST(({x}) AS STRING) AS TIMESTAMP) END")
+            f"ELSE TRY_CAST(CAST(({x}) AS STRING) AS TIMESTAMP) END")
 
 
 def _rewrite_ts_date_fns(sql: str) -> str:
@@ -515,8 +520,10 @@ def _dialect_str(x: str) -> str:
     built over CAST(x AS STRING) so the CASE type-checks for ANY input
     type (typeof() picks the live branch at runtime)."""
     s = f"CAST(({x}) AS STRING)"
-    d = f"CAST({s} AS DOUBLE)"
-    b = f"CAST({d} AS BIGINT)"
+    # TRY_CAST — dead-branch constant folding under ANSI (see
+    # _poly_timestamp); live only when typeof is float/double
+    d = f"TRY_CAST({s} AS DOUBLE)"
+    b = f"TRY_CAST({d} AS BIGINT)"
     return (f"CASE WHEN typeof(({x})) IN ('float','double') THEN "
             f"IF({d} = {b}, CAST({b} AS STRING), {s}) "
             f"WHEN typeof(({x})) = 'timestamp' "
@@ -1743,19 +1750,32 @@ class SqlEngine:
             raise ValueError(
                 f"request rows lack main-table columns {missing} "
                 f"(deployment {name!r} over table {dep['main']!r})")
-        reqs = requests.select(*history.columns)
-        # the FIRST "FROM main" is the request anchor; any other
-        # reference to the main table (dim joins, subqueries) keeps
-        # reading the stored table
+        from pyspark.sql import Window as _W
+
+        # every request row gets a durable identity: deployments that
+        # scan the main table in several subqueries and join them back
+        # (fz_ddl test_myhug out0⋈out1⋈out2) must match each request
+        # with ITS OWN pipeline outputs, never another request's —
+        # __req_id__ rides through every subquery and joins implicitly
+        reqs = requests.select(*history.columns).withColumn(
+            "__req_id__",
+            F.row_number().over(_W.orderBy(*[F.col(c) for c in history.columns])))
+        # EVERY scan of the main table anchors at the request rows —
+        # real FZ deployments read the main table in several subqueries
+        # and each must see the request batch (fz_ddl test_myhug id=1:
+        # out0/out1/out2 all scan flattenRequest). JOIN right-sides
+        # (``last join main``) are not FROM scans and keep reading the
+        # stored table, as do windows (which union stored history).
         sel = re.sub(rf"(?is)\bFROM\s+{re.escape(dep['main'])}\b",
-                     f"FROM {self._REQ_VIEW}", dep["sql"], count=1)
+                     f"FROM {self._REQ_VIEW}", dep["sql"])
         prev = getattr(self, "_request_ctx", None)
         self._request_ctx = {
             "main": dep["main"], "requests": reqs, "history": history,
             "independent": independent, "_iso": {},
         }
         try:
-            return self.sql(sel)
+            out = self.sql(sel)
+            return out.drop(*[c for c in out.columns if "__req_id__" in c])
         finally:
             self._request_ctx = prev
 
@@ -2463,6 +2483,12 @@ class SqlEngine:
                 # (test_lastjoin_simple.yaml id 4-5)
                 order_raw = self._index_ts_for(rtbl)
 
+            if getattr(self, "_request_ctx", None) is not None \
+                    and "__req_id__" in df.columns \
+                    and "__req_id__" in right.columns:
+                # both sides derive from the request batch — each
+                # request joins its own pipeline outputs only
+                eqs.append(("__req_id__", "__req_id__"))
             cond_col = None
             if residual:
                 # non-equi residual conditions ride the join predicate
@@ -2533,6 +2559,7 @@ class SqlEngine:
             return [
                 f"`{c}` AS `{self._flat_raw[c]}`" if c in self._flat_raw else f"`{c}`"
                 for c in cols
+                if "__req_id__" not in c  # request identity is implicit
             ]
 
         for item in select_items:
@@ -2583,6 +2610,13 @@ class SqlEngine:
             else:
                 expr = self._rewrite_refs(rewritten)
                 plain_items.append(f"{expr} AS {alias}" if alias else expr)
+
+        if getattr(self, "_request_ctx", None) is not None \
+                and "__req_id__" in df.columns \
+                and not any("__req_id__" in it for it in plain_items):
+            # request identity rides through every projection so joins
+            # between request-derived subqueries stay per-request
+            plain_items.append("`__req_id__`")
 
         all_tmps: list[tuple[str, str]] = []
         for st in self._stages:

@@ -225,6 +225,8 @@ def _apply_index_ttl(df, idxs: list) -> "object":
         parts = str(idx).split(":")
         keys = [k for k in (parts[1].split("|") if len(parts) > 1 else []) if k]
         ts = parts[2] if len(parts) > 2 and parts[2] else None
+        if ts and ts.lower() == "null":  # explicit no-ts index (luoji)
+            ts = None
         ttl, ttype = (parts[3] if len(parts) > 3 else None,
                       (parts[4] if len(parts) > 4 else "").lower())
         if ttype == "absandlat" and ttl:
@@ -339,7 +341,11 @@ def run_case(spark, case: dict, smoke_success: bool = False):
         if not (smoke_success and expect.get("success") is True):
             return None, "no expected rows (skipped)"
     mode = case.get("mode", "")
-    if "batch-unsupport" in mode or "offline-unsupport" in mode:
+    mode_toks = {t.strip() for t in str(mode).split(",")}
+    if {"batch-unsupport", "offline-unsupport"} & mode_toks:
+        # exact tokens: 'rtidb-batch-unsupport' / 'batch-request-
+        # unsupport' are ONLINE-engine limitations — the offline batch
+        # path (this engine) runs those cases
         return None, f"mode={mode} (skipped)"
     tags = [str(t) for t in case.get("tags") or []]
     if any("TODO" in t for t in tags):
@@ -414,7 +420,7 @@ def _run_case_in_corpus_tz(spark, case: dict, expect: dict):
             idxs = [inp["index"]] if isinstance(inp["index"], str) else inp["index"]
         for idx in idxs or []:
             parts = str(idx).split(":")
-            if len(parts) >= 3 and parts[2]:
+            if len(parts) >= 3 and parts[2] and parts[2].lower() != "null":
                 index_ts = parts[2]
                 break
         inp_db = inp.get("db")

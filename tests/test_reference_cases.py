@@ -112,6 +112,12 @@ FILES = (
         "/root/reference/cases/integration_test/tmp/test_current_time.yaml",
         "/root/reference/cases/integration_test/yarn/test_date.yaml",
         "/root/reference/cases/function/disk_table/disk_table.yaml",
+        "/root/reference/cases/function/fz_ddl/test_bank.yaml",
+        "/root/reference/cases/function/fz_ddl/test_luoji.yaml",
+        "/root/reference/cases/function/fz_ddl/test_myhug.yaml",
+        "/root/reference/cases/integration_test/fz_ddl/test_bank.yaml",
+        "/root/reference/cases/integration_test/fz_ddl/test_luoji.yaml",
+        "/root/reference/cases/integration_test/fz_ddl/test_myhug.yaml",
         "/root/reference/cases/query/udaf_query.yaml",
         "/root/reference/cases/query/left_join.yml",
         "/root/reference/cases/query/last_join_subquery_window.yml",
@@ -201,7 +207,7 @@ SMOKE_FILES = {
     "test_ads.yaml", "test_credit.yaml", "test_fqz_studio.yaml",
     "test_jd.yaml", "test_news.yaml", "long_window.yaml",
     "test_create_deploy.yaml", "test_drop_deploy.yaml",
-    "test_show_deploy.yaml",
+    "test_show_deploy.yaml", "test_bank.yaml",
 }
 
 
