@@ -2151,6 +2151,15 @@ class SqlEngine:
             return self.spark.createDataFrame(
                 sorted(self.session_vars.items()),
                 "Variable_name string, Value string")
+        if re.match(r"(?is)^SHOW\s+TABLES\s*$", q):
+            names = sorted(
+                self.databases.get(self.current_db, {})
+                if self.current_db else self.tables)
+            return self.spark.createDataFrame(
+                [(n,) for n in names], "Tables string")
+        if re.match(r"(?is)^SHOW\s+DATABASES\s*$", q):
+            return self.spark.createDataFrame(
+                [(n,) for n in sorted(self.databases)], "Database string")
         if self.databases:
             # flatten db-qualified table names to plain identifiers so
             # every downstream parse path (FROM chains, window refs,

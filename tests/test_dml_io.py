@@ -110,6 +110,18 @@ def test_create_index_ttl_read_time(spark):
     assert sorted(r.id for r in e.sql("select * from tt").collect()) == [3, 4]
 
 
+def test_show_tables_and_databases(spark):
+    e = SqlEngine(spark)
+    e.register("ta", spark.range(1))
+    e.register("tb", spark.range(1))
+    assert [r.Tables for r in e.sql("show tables").collect()] == ["ta", "tb"]
+    e.sql("create database d1")
+    e.register("tc", spark.range(1), db="d1")
+    assert [r.Database for r in e.sql("show databases").collect()] == ["d1"]
+    e.sql("use d1")
+    assert [r.Tables for r in e.sql("show tables").collect()] == ["tc"]
+
+
 def test_multi_database_namespace(spark):
     e = SqlEngine(spark)
     e.sql("create database dbx")
