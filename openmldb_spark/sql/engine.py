@@ -1805,6 +1805,12 @@ class SqlEngine:
             ctx = getattr(self, "_request_ctx", None)
             if ctx is not None:
                 return ctx["requests"]
+            local = getattr(self, "_local_tables", None)
+            if local and n in local:
+                # history-variant evaluation of a request-derived
+                # subquery: the view is temporarily bound to stored
+                # history and runs batch-style (no RequestUnion)
+                return local[n]
             raise ValueError("request view is only valid inside request()")
         offline = self._exec_mode() == "offline"
         if offline and n in self.offline_tables:
@@ -1956,6 +1962,7 @@ class SqlEngine:
         # from t1)" — v040/test_groupby.yaml id=22), so registrations
         # are deferred until the whole FROM region is scanned
         pending: dict[str, DataFrame] = {}
+        pending_hist: dict[str, DataFrame] = {}
         while i < n:
             if text[i] == "(":
                 j = i + 1
@@ -1977,6 +1984,18 @@ class SqlEngine:
                     if alias is None:
                         alias = f"__sub{len(self._local_tables) + len(pending)}__"
                     pending[alias.lower()] = df
+                    ctx = getattr(self, "_request_ctx", None)
+                    if ctx is not None and self._REQ_VIEW in inner.lower():
+                        # request-derived subquery: windows over its
+                        # output must stay per-request isolated. NOTE
+                        # the reference does NOT re-anchor RequestUnion
+                        # through a subquery — stored main rows never
+                        # feed such windows, only explicit UNION tables
+                        # and the request row itself (fz_ddl test_myhug
+                        # id=0: the repeat-×100 projected stored rows
+                        # with fWatchedTimeLen=0 are absent from the
+                        # expected window averages).
+                        pending_hist[alias.lower()] = True
                     out.append(f" {alias} ")
                     i = j
                     continue
@@ -1986,6 +2005,7 @@ class SqlEngine:
                 out.append(text[i])
                 i += 1
         self._local_tables.update(pending)
+        self._local_hist.update(pending_hist)
         return "".join(out)
 
     # -- parsing ------------------------------------------------------------
@@ -2096,11 +2116,14 @@ class SqlEngine:
 
     def sql(self, text: str) -> DataFrame:
         prev_local = getattr(self, "_local_tables", None)
+        prev_hist = getattr(self, "_local_hist", None)
         self._local_tables = dict(prev_local) if prev_local else {}
+        self._local_hist = dict(prev_hist) if prev_hist else {}
         try:
             return self._sql(text)
         finally:
             self._local_tables = prev_local
+            self._local_hist = prev_hist
 
     def _sql(self, text: str) -> DataFrame:
         # backtick-quoted identifiers are plain names in this dialect;
@@ -2372,8 +2395,14 @@ class SqlEngine:
         # request mode: stored history rides through the same join
         # chain as the request rows — window frames read JOINED history
         # rows (test_batch_request id=2: min(c9) over frame where c9
-        # comes from the LAST JOINed dim table)
+        # comes from the LAST JOINed dim table). A request-derived
+        # subquery base carries its own projected history variant.
         hist_df = req_ctx["history"] if req_active else None
+        # a subquery base that was itself derived from the request view
+        # still needs per-request window isolation (but NO implicit
+        # history union — see _inline_subqueries)
+        req_derived = req_ctx is not None and (
+            req_active or getattr(self, "_local_hist", {}).get(base_tbl))
         # optional alias on the base table ("FROM t0 a" / "FROM t0 AS a")
         alias_toks = [t for t in toks[1:] if t.lower() != "as"]
         aliases = [base_tbl] + [a.lower() for a in alias_toks]
@@ -2510,13 +2539,17 @@ class SqlEngine:
                 and pick == "max"
             )
             def _apply_last_join(d):
+                # the request-identity key applies only to sides that
+                # carry it (stored-history mirrors don't)
+                eqs_d = [(l, r) for l, r in eqs
+                         if l != "__req_id__" or l in d.columns]
                 if pure_asof:
                     # fully-native sorted-merge path: one shuffle, no
                     # row explosion (VERDICT r1 'what's wrong' #2) —
                     # the shuffle row_number strategy stays for
                     # residual conditions
                     d = last_join(
-                        d, right, on=[(l, r) for l, r in eqs],
+                        d, right, on=eqs_d,
                         asof_left_ts=asof_l, asof_right_ts=asof_r,
                         strict=strict, how="union_asof", right_prefix=prefix,
                     )
@@ -2524,7 +2557,7 @@ class SqlEngine:
                     # the left row found no match) so SELECT can address
                     # them, matching the row_number strategy's output
                     matched = F.col(f"{prefix}{asof_r}").isNotNull()
-                    for lk, rk in eqs:
+                    for lk, rk in eqs_d:
                         pk = f"{prefix}{rk}"
                         if pk not in d.columns:
                             d = d.withColumn(pk, F.when(matched, F.col(lk)))
@@ -2534,7 +2567,7 @@ class SqlEngine:
                 return last_join(
                     d,
                     right,
-                    on=[(l, r) for l, r in eqs],
+                    on=eqs_d,
                     order_by=order_raw,
                     condition=cond_col,
                     asof_left_ts=asof_l,
@@ -2651,13 +2684,15 @@ class SqlEngine:
                 )
                 union = [self._resolve_table(t) for t in wd.union_tables] or None
                 if req_active:
-                    # every window over the request primary draws its
-                    # frames from the stored history (RequestUnion);
-                    # INSTANCE_NOT_IN_WINDOW isolates concurrent
-                    # requests for the same key when needed
+                    # a window over the request primary draws its
+                    # frames from the stored history (RequestUnion)
                     union = [hist_df] + (union or [])
-                    if self._request_needs_inw(req_ctx, spec, df):
-                        spec = replace(spec, instance_not_in_window=True)
+                if req_derived and self._request_needs_inw(req_ctx, spec, df):
+                    # INSTANCE_NOT_IN_WINDOW isolates concurrent
+                    # requests for the same key when needed — also for
+                    # windows over request-derived subqueries, whose
+                    # frames hold ONLY explicit unions + the request row
+                    spec = replace(spec, instance_not_in_window=True)
                 if union:
                     # union rows need the engine's temp columns too
                     # (e.g. a *_where condition evaluated over union

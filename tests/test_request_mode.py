@@ -112,3 +112,32 @@ def test_request_zero_leakage_and_native_plan(spark, transcripts):
     out2 = request_features(requests, history.unionByName(future), "ts", [_fw()])
     got2 = {(r["conv_id"], r["turn_idx"]): (r["n_10"], r["tools_10"]) for r in out2.collect()}
     assert got2 == base
+
+
+def test_request_subquery_windows_isolated_no_implicit_history(spark):
+    """A deployed window over a PROJECTED subquery of the main table
+    (the FeatureZero deployment shape): the reference does NOT
+    re-anchor RequestUnion through a subquery — frames hold only
+    explicit UNION tables and the request row itself (fz_ddl
+    test_myhug id=0 evidence: repeat-×100 projected stored rows are
+    absent from expected averages), and concurrent requests for the
+    same key never see each other."""
+    from openmldb_spark.sql import SqlEngine
+
+    eng = SqlEngine(spark)
+    hist = spark.createDataFrame(
+        [("a", 1000, 1, "h1"), ("a", 2000, 2, "h2")],
+        "k string, ts bigint, v int, reqid string")
+    eng.register("main_t", hist)
+    eng.sql(
+        "DEPLOY dsub SELECT reqid, sum(v) OVER w AS s "
+        "FROM (SELECT k, ts, v, reqid FROM main_t) "
+        "WINDOW w AS (PARTITION BY k ORDER BY ts "
+        "ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)")
+    reqs = spark.createDataFrame(
+        [("a", 2500, 10, "r1"), ("a", 3000, 20, "r2")],
+        "k string, ts bigint, v int, reqid string")
+    got = {r.reqid: r.s for r in eng.request("dsub", reqs).collect()}
+    # each request's frame = itself only: no stored history through
+    # the subquery, and NEVER the other request's value
+    assert got == {"r1": 10, "r2": 20}
