@@ -226,9 +226,9 @@ def duckdb_transcripts_cte(
              turn_idx::INT AS turn_idx, role,
              printf('msg conv_%06d:%d %s', conv_no, turn_idx, word) AS text,
              CASE WHEN role = 'tool' THEN tool0 END AS tool,
-             conv_start_ms + SUM(gap_ms) OVER (
+             CAST(conv_start_ms + SUM(gap_ms) OVER (
                PARTITION BY conv_no ORDER BY turn_idx
-               ROWS UNBOUNDED PRECEDING) AS ts_ms
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ts_ms
       FROM lcg_gaps
     )"""
 
@@ -254,8 +254,8 @@ def duckdb_conv_meta_cte(n_convs: int, seed: int = 42) -> str:
     ),
     lcg_meta AS (
       SELECT printf('conv_%06d', conv_no) AS conv_id,
-             {EPOCH_2025_MS}::BIGINT + (({u_start}) % 2592000) * 1000
-               - 3600000 + ver * 7200000 + ({u_off}) % 3600000 AS ts_ms,
+             CAST({EPOCH_2025_MS}::BIGINT + (({u_start}) % 2592000) * 1000
+               - 3600000 + ver * 7200000 + ({u_off}) % 3600000 AS BIGINT) AS ts_ms,
              {u_model} AS model, {u_chan} AS channel,
              (({u_prio}) % 4)::INT AS priority
       FROM lcg_mr
