@@ -1639,15 +1639,23 @@ class SqlEngine:
                    .csv(p))
             combined = old.unionByName(
                 df.toDF(*schema.fieldNames()), allowMissingColumns=False)
-            # materialize before overwriting the dir being read
-            rows = combined.collect()
-            out = self.spark.createDataFrame(rows, schema)
-            (out.coalesce(1).write.mode("overwrite")
+            # the source dir is an input of the union, so it can't be
+            # overwritten in place; write the union to a sibling temp
+            # dir and swap — fully distributed, nothing collects to
+            # the driver regardless of table size
+            import shutil
+
+            local = p[7:] if p.startswith("file://") else p
+            tmp = local + ".__append_tmp__"
+            shutil.rmtree(tmp, ignore_errors=True)
+            (combined.coalesce(1).write.mode("overwrite")
              .option("header", old_opts["header"].lower())
              .option("delimiter", old_opts["delimiter"])
              .option("nullValue", old_opts["null_value"])
              .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
-             .csv(p))
+             .csv(tmp))
+            shutil.rmtree(local)
+            shutil.move(tmp, local)
             return
         if fmt == "csv":
             # the reference emits ONE csv file (a header=true reader
