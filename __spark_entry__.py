@@ -582,6 +582,41 @@ def q_long_window_unbounded(spark, sf_dir):
                       _r6("cum_max").alias("cum_max"), _r6("cum_avg").alias("cum_avg"))
 
 
+def q_iceberg_scan(spark, sf_dir):
+    """The north star's Iceberg surface, executed: events committed to
+    an iceberg-lite table (sources/iceberg_lite.py) in three snapshots
+    split by event_id range, read back via a metadata-planned scan that
+    prunes whole files from parquet-footer min/max stats (no directory
+    listing), then aggregated. Oracle = the same aggregate over the raw
+    parquet: green hash proves snapshot read == source data AND that
+    pruning dropped no qualifying file. (Real-runtime path:
+    tests/test_iceberg_integration.py; reference
+    docs/en/integration/offline_data_sources/iceberg.md.)"""
+    import tempfile
+
+    from openmldb_spark.sources.iceberg_lite import IcebergLiteTable
+
+    ev = _t(spark, sf_dir, "events")
+    # one driver-side scalar (the split boundary) — metadata-sized, not
+    # a data collect; same FLOOR(max/3) expression as the oracle
+    m = ev.agg(F.max("event_id")).first()[0]
+    b = int(m // 3)
+    loc = tempfile.mkdtemp(prefix="omldb_ice_scan_") + "/events"
+    t = IcebergLiteTable.create(loc, ev.schema)
+    t.append(ev.filter(F.col("event_id") <= b))
+    t.append(ev.filter((F.col("event_id") > b) & (F.col("event_id") <= 2 * b)))
+    t.append(ev.filter(F.col("event_id") > 2 * b))
+    scan = t.read(spark, predicates={"event_id": (None, b)})
+    return (
+        scan.filter(F.col("event_id") <= b)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             # 2 dp: double sums are order-sensitive across engines
+             F.round(F.sum("value"), 2).alias("sum_v"),
+             F.max("event_id").alias("max_id"))
+    )
+
+
 def q_left_join(spark, sf_dir):
     """Plain LEFT JOIN through the SQL front-end (JoinPlan.scala:159)."""
     from openmldb_spark.sql import SqlEngine
@@ -642,6 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topn_cate_window": q_topn_cate_window,
         "fz_split_window": q_fz_split_window,
         "left_join": q_left_join,
+        "iceberg_scan": q_iceberg_scan,
     }
 
 
@@ -992,6 +1028,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_nationkey, n_name, r_name FROM nation
             LEFT JOIN region ON nation.n_regionkey = region.r_regionkey
               AND region.r_regionkey < 3
+        """,
+        "iceberg_scan": """
+            SELECT event_type, COUNT(*) AS n,
+                   ROUND(SUM(value), 2) AS sum_v,
+                   MAX(event_id) AS max_id
+            FROM events
+            WHERE event_id <= (SELECT CAST(FLOOR(MAX(event_id) / 3.0) AS BIGINT)
+                               FROM events)
+            GROUP BY event_type
         """,
         "backfill_transcripts": _backfill_oracle(),
         "request_transcripts": _request_oracle(),

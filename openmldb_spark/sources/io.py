@@ -9,9 +9,12 @@ Parity targets:
   csv/parquet writes with mode control.
 
 Iceberg needs its runtime jars on the classpath; in this sandbox they
-are absent, so the Iceberg catalog helper degrades to a clear error
-(and the parquet path is the tested default). On a real cluster, pass
-``iceberg_catalog_conf()`` values into the SparkSession builder.
+are absent (see ICEBERG.md for the probe log), so ``read_iceberg`` /
+``auto_load('iceberg://…')`` route filesystem-path tables through the
+pure-Python iceberg-lite format (sources/iceberg_lite.py — snapshots,
+time travel, footer-stat pruning) and catalog names through
+``spark.table`` (the real runtime, when its jar is present — pass
+``iceberg_catalog_conf()`` values into the SparkSession builder).
 """
 
 from __future__ import annotations
@@ -25,6 +28,7 @@ __all__ = [
     "select_into",
     "iceberg_available",
     "iceberg_catalog_conf",
+    "read_iceberg",
     "hive_available",
     "hive_catalog_conf",
     "tidb_catalog_conf",
@@ -207,6 +211,12 @@ def auto_load(
     else as files (``file://`` / ``hdfs://`` / ``s3a://`` paths honour
     the session's Hadoop conf — see ``s3_conf``)."""
     scheme, _, rest = uri.partition("://")
+    if rest and scheme.lower() == "iceberg":
+        from .iceberg_lite import IcebergLiteTable
+
+        if IcebergLiteTable.exists(rest):
+            df = IcebergLiteTable.load(rest).read(spark)
+            return _validate(df, schema, uri) if schema is not None else df
     if rest and scheme.lower() in ("hive", "iceberg", "tidb"):
         name = rest
         df = spark.table(name)
@@ -218,6 +228,22 @@ def auto_load(
     if schema is None:
         raise ValueError("file sources need a declared schema (no silent inference)")
     return load_data(spark, uri, schema, fmt=fmt or "parquet", **file_opts)
+
+
+def read_iceberg(spark: SparkSession, location_or_name: str,
+                 snapshot_id=None,
+                 predicates: dict[str, tuple] | None = None) -> DataFrame:
+    """Iceberg reader: a filesystem path holding an iceberg-lite table
+    plans from its own metadata (snapshot + footer-stat pruning); a
+    catalog name goes to ``spark.table`` (real runtime)."""
+    from .iceberg_lite import IcebergLiteTable
+
+    if IcebergLiteTable.exists(location_or_name):
+        return IcebergLiteTable.load(location_or_name).read(
+            spark, snapshot_id=snapshot_id, predicates=predicates)
+    if snapshot_id is not None:
+        return spark.read.option("snapshot-id", snapshot_id).table(location_or_name)
+    return spark.table(location_or_name)
 
 
 def read_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:

@@ -23,6 +23,7 @@ N_CONVS = int(os.environ.get("SCALING_CONVS", "2000"))
 AVG_TURNS = int(os.environ.get("SCALING_TURNS", "1200"))
 PARTITIONS = int(os.environ.get("SCALING_PARTITIONS", "64"))
 REPEATS = int(os.environ.get("SCALING_REPEATS", "2"))
+ICEBERG = os.environ.get("SCALING_ICEBERG", "1") == "1"
 
 
 def main():
@@ -49,13 +50,25 @@ def main():
     base = "/tmp/omldb_scaling"
     tdir = f"{base}/transcripts_{N_CONVS}x{AVG_TURNS}"
     mdir = f"{base}/meta_{N_CONVS}"
-    if not os.path.exists(f"{tdir}/_SUCCESS"):
-        generate_transcripts(spark, n_convs=N_CONVS, avg_turns=AVG_TURNS, seed=42).write.mode(
-            "overwrite"
-        ).parquet(tdir)
+    if ICEBERG:
+        # the north-star input shape: transcripts read from an Iceberg
+        # table (iceberg-lite layout — metadata-planned scan, no
+        # directory listing; ICEBERG.md)
+        from openmldb_spark.sources.iceberg_lite import IcebergLiteTable
+
+        ice_loc = f"{tdir}_iceberg"
+        if not IcebergLiteTable.exists(ice_loc):
+            df = generate_transcripts(spark, n_convs=N_CONVS, avg_turns=AVG_TURNS, seed=42)
+            IcebergLiteTable.create(ice_loc, df.schema).append(df)
+        transcripts = IcebergLiteTable.load(ice_loc).read(spark)
+    else:
+        if not os.path.exists(f"{tdir}/_SUCCESS"):
+            generate_transcripts(spark, n_convs=N_CONVS, avg_turns=AVG_TURNS, seed=42).write.mode(
+                "overwrite"
+            ).parquet(tdir)
+        transcripts = spark.read.parquet(tdir)
     if not os.path.exists(f"{mdir}/_SUCCESS"):
         generate_conv_meta(spark, n_convs=N_CONVS, seed=42).write.mode("overwrite").parquet(mdir)
-    transcripts = spark.read.parquet(tdir)
     meta = spark.read.parquet(mdir)
     n_turns = transcripts.count()
 
@@ -93,6 +106,7 @@ def main():
     print(json.dumps({
         "cores": cores,
         "partitions": PARTITIONS,
+        "input": "iceberg-lite" if ICEBERG else "parquet",
         "rows": n_turns,
         "wall_sec": round(best, 3),
         "turns_per_sec": round(n_turns / best, 1),
