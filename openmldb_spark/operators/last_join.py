@@ -121,8 +121,21 @@ def _rownum_join(left, right, keys, order_by, condition,
     # CONTENT is deterministic for hash-shuffle / file-scan lineages,
     # so a canonical within-partition sort (no shuffle, no Python)
     # makes the (partition, position) tag reproducible on replay.
-    lt = left.sortWithinPartitions(*left.columns).withColumn(
-        _LIDX, F.monotonically_increasing_id())
+    # sort only by orderable columns — a MapType anywhere in a column's
+    # type makes it unusable as a sort key (AnalysisException); the
+    # orderable columns are enough to make the tag order canonical
+    def _orderable(dt) -> bool:
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
+
+    sortable = [f.name for f in left.schema.fields if _orderable(f.dataType)]
+    lt = (left.sortWithinPartitions(*sortable) if sortable else left
+          ).withColumn(_LIDX, F.monotonically_increasing_id())
 
     cond = None
     for lk, rk in keys:

@@ -34,8 +34,25 @@ def cosine_topk(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    max_queries: int | None = 10_000,
 ) -> DataFrame:
-    """Exact cosine top-k: (query_id, vec_id, cosine, rank)."""
+    """Exact cosine top-k: (query_id, vec_id, cosine, rank).
+
+    O(|corpus| x |queries|) by construction — the right tool for a
+    small, broadcastable query set only. ``max_queries`` is the guard
+    rail: query sets above it raise with a pointer to ``lsh_topk`` (the
+    bucket-pruned scale path) instead of silently planning a crossJoin
+    that would never finish at corpus ≈ query-set scale. Pass
+    ``max_queries=None`` to opt out explicitly.
+    """
+    if max_queries is not None:
+        n_q = queries.limit(max_queries + 1).count()
+        if n_q > max_queries:
+            raise ValueError(
+                f"cosine_topk is exact brute force (O(corpus x queries)); "
+                f"query set exceeds max_queries={max_queries}. Use lsh_topk "
+                f"for large query sets, or pass max_queries=None to force."
+            )
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("__cv__"),

@@ -225,3 +225,20 @@ def test_minhash_degenerate_bucket_capped(spark):
     assert not ((pairs.id_a < 1000) & (pairs.id_b < 1000)).any()
     # ...while the healthy near-dup pair survives
     assert ((pairs.id_a == 1000) & (pairs.id_b == 1001)).any()
+
+
+def test_cosine_topk_query_cap_guard(spark, embeddings):
+    """cosine_topk is exact brute force; oversized query sets must be
+    rejected with a pointer to lsh_topk (VERDICT r4 #6)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from openmldb_spark.operators.similarity import cosine_topk
+
+    queries = embeddings.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    with pytest.raises(ValueError, match="lsh_topk"):
+        cosine_topk(embeddings, queries, k=1, max_queries=3)
+    # opt-out still works
+    assert cosine_topk(embeddings.limit(20),
+                       queries.limit(5), k=1, max_queries=None).count() == 5

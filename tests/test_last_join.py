@@ -129,3 +129,18 @@ def test_broadcast_plan_is_broadcast(spark, transcripts, conv_meta):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_map_column_left_side(spark):
+    """Unorderable (MapType) left columns must not break the
+    replay-deterministic row tagging (ADVICE r4)."""
+    from pyspark.sql import functions as F
+
+    lpdf = pd.DataFrame({"k": ["a", "b", "c"], "x": [1, 2, 3]})
+    left = spark.createDataFrame(lpdf).withColumn(
+        "props", F.create_map(F.lit("n"), F.col("x")))
+    right = spark.createDataFrame(pd.DataFrame({"k": ["a", "b"], "v": [10, 30]}))
+    got = last_join(left, right, on=["k"], how="shuffle").orderBy("k").toPandas()
+    assert len(got) == 3
+    assert got.loc[got.k == "a", "v"].iloc[0] == 10
+    assert pd.isna(got.loc[got.k == "c", "v"]).all()
