@@ -56,9 +56,39 @@ def truncate(col):
     return F.when(c >= 0, F.floor(c)).otherwise(F.ceil(c)).cast("double")
 
 
-def hash64(col):
-    """64-bit hash; reference uses farmhash — we document xxhash64."""
-    return F.xxhash64(_c(col))
+def hash64(col, dtype=None):
+    """farmhash::Fingerprint64 of the value's raw bytes, bit-exact with
+    the reference (functions/farmhash.py; udf.cc:1407). The byte view
+    is typed — pass the column's Spark ``dtype`` (the SQL front-end
+    supplies it automatically from schema probing); bare calls default
+    to string semantics."""
+    from pyspark.sql import types as T
+
+    from openmldb_spark.functions.farmhash import UDF_NAME
+
+    dtype = dtype or T.StringType()
+    c = _c(col)
+    if isinstance(dtype, T.StringType):
+        return F.call_udf(UDF_NAME, c, F.lit("str"))
+    if isinstance(dtype, T.BooleanType):
+        return F.call_udf(UDF_NAME, c.cast("int").cast("string"), F.lit("i1"))
+    if isinstance(dtype, T.ShortType):
+        return F.call_udf(UDF_NAME, c.cast("string"), F.lit("i2"))
+    if isinstance(dtype, T.IntegerType):
+        return F.call_udf(UDF_NAME, c.cast("string"), F.lit("i4"))
+    if isinstance(dtype, T.LongType):
+        return F.call_udf(UDF_NAME, c.cast("string"), F.lit("i8"))
+    if isinstance(dtype, T.FloatType):
+        return F.call_udf(UDF_NAME, c.cast("string"), F.lit("f4"))
+    if isinstance(dtype, T.DoubleType):
+        return F.call_udf(UDF_NAME, c.cast("string"), F.lit("f8"))
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return F.call_udf(UDF_NAME, F.unix_millis(c).cast("string"), F.lit("i8"))
+    if isinstance(dtype, T.DateType):
+        packed = ((F.year(c) - 1900) * 65536 + (F.month(c) - 1) * 256
+                  + F.dayofmonth(c))
+        return F.call_udf(UDF_NAME, packed.cast("string"), F.lit("i4"))
+    raise ValueError(f"hash64: unsupported type {dtype}")
 
 
 farm_fingerprint = hash64
@@ -258,6 +288,9 @@ FUNCTIONS.update(
 def register_all(spark) -> None:
     """Expose the non-native names to Spark SQL (as SQL expressions via
     selectExpr-compatible temp functions where possible)."""
+    from openmldb_spark.functions import farmhash
+
+    farmhash.register(spark)
     # earth_distance & friends are composite Column builders — expose a
     # SQL macro through a view-less expression: Spark supports SQL UDF
     # registration only for Python/pandas UDFs, so register thin pandas

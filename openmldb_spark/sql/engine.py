@@ -2358,9 +2358,12 @@ class SqlEngine:
             return out
 
         if not re.search(r"(?is)\bFROM\b", q):
-            # constant SELECT (no FROM) → Spark SQL directly
+            # constant SELECT (no FROM) → Spark SQL directly; finalize
+            # against a one-row frame so dialect rewrites that need
+            # type probing (hash64, casts) still apply
             q = _rewrite_call(q, "identity", lambda a: f"({a[0]})" if len(a) == 1 else None)
-            return self.spark.sql(_rewrite_fz_scalars(q))
+            q = self._finalize_expr(q, self.spark.range(1))
+            return self.spark.sql(q)
         # pull off the WINDOW clause (to end or before LIMIT)
         mwin = re.search(r"(?is)\bWINDOW\s+(\w+\s+AS\s*\(.*\))\s*(LIMIT\s+\d+)?\s*$", q)
         limit_txt = ""
@@ -2755,6 +2758,19 @@ class SqlEngine:
             lambda a: (f"CAST(IF(({a[0]}) >= 0, FLOOR({a[0]}), CEIL({a[0]})) AS DOUBLE)"
                        if len(a) == 1 else None))
         text = _rewrite_fz_scalars(text)
+        # hash64/farm_fingerprint hash the value's TYPED raw bytes
+        # (farmhash Fingerprint64, udf.h:308) — probe the arg type and
+        # lower to the typed pandas-UDF call
+        from openmldb_spark.functions.farmhash import hash64_typed_sql
+
+        def _hash64_fn(args):
+            if len(args) != 1:
+                return None
+            t = self._probe_type(args[0], df)
+            return None if t is None else hash64_typed_sql(args[0], t)
+
+        text = _rewrite_call(text, "hash64", _hash64_fn)
+        text = _rewrite_call(text, "farm_fingerprint", _hash64_fn)
         text = self._rewrite_dialect_casts(text, df)
         ts_cols = {
             f.name for f in df.schema.fields

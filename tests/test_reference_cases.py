@@ -161,8 +161,6 @@ KNOWN_DIVERGENCES = {
     ),
     ("last_join_where.yaml", "1"): "same right table joined twice (prefix collision)",
     ("operator_query.yaml", "6"): "parenthesized tuple comparison syntax",
-    ("test_udf_function.yaml", "4"): "hash64/farm_fingerprint: reference uses farmhash, engine xxhash64 (values differ by design)",
-    ("test_udf_function.yaml", "5"): "farmhash values + trailing comma in select list (corpus syntax quirk)",
     ("test_sub_select.yaml", "0"): (
         "unaliased expression output naming: engine uses the source "
         "text ('c2+1'), the reference pretty-prints the AST ('c2 + 1')"
