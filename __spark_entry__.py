@@ -456,7 +456,7 @@ def q_backfill_transcripts(spark, sf_dir):
     )
     return out.select(
         "conv_id", "turn_idx", "role", "text", "tool",
-        F.unix_millis("ts").alias("ts_ms"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
         "n_tool_calls_10", "n_distinct_tools_10", "prev_tool", "prev_role",
         F.unix_millis("m_ts").alias("m_ts_ms"),
         "m_model", "m_channel", "m_priority", "session_id",
@@ -501,7 +501,7 @@ def q_request_transcripts(spark, sf_dir):
     )
     return out.select(
         "conv_id", "turn_idx", "role", "text", "tool",
-        F.unix_millis("ts").alias("ts_ms"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
         "n_tool_calls_10", "n_distinct_tools_10", "prev_tool",
         F.unix_millis("m_ts").alias("m_ts_ms"),
         "m_model", "m_channel", "m_priority",
@@ -580,6 +580,39 @@ def q_long_window_unbounded(spark, sf_dir):
                       _r6(F.col("cum_sum").cast("double")).alias("cum_sum"),
                       "cum_cnt", _r6("cum_min").alias("cum_min"),
                       _r6("cum_max").alias("cum_max"), _r6("cum_avg").alias("cum_avg"))
+
+
+def q_preagg_incremental(spark, sf_dir):
+    """Materialized incremental pre-agg (src/storage/aggregator.h:40-56
+    analogue, operators/preagg.py): bucket partials for the older half
+    of events are persisted once; the newer half is APPENDED — O(new)
+    work, carry state read from the materialized partials instead of
+    rescanning history. Features for the appended rows must equal the
+    plain UNBOUNDED window over the full table (the oracle)."""
+    import tempfile
+
+    from openmldb_spark.operators.preagg import PreAggTable
+    from openmldb_spark.operators.window import Agg, WindowSpec
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(20,6)"))
+    # split boundary: one metadata-sized driver scalar, same integer
+    # arithmetic as the oracle CTE
+    mm = ev.agg(F.min(F.unix_millis(F.col("ts").cast("timestamp"))).alias("lo"),
+                F.max(F.unix_millis(F.col("ts").cast("timestamp"))).alias("hi")).first()
+    mid = (mm["lo"] + mm["hi"]) // 2
+
+    spec = WindowSpec(["user_id"], "ts", "rows", None, tiebreak=["event_id"])
+    aggs = [Agg("sum", "value_dec", "cum_sum"), Agg("count", "value", "cum_cnt"),
+            Agg("min", "value", "cum_min"), Agg("max", "value", "cum_max")]
+    state = tempfile.mkdtemp(prefix="omldb_preagg_") + "/state"
+    t = PreAggTable.create(spark, state, spec, aggs, bucket_ms=3_600_000)
+    t.append(ev.filter(F.unix_millis(F.col("ts").cast("timestamp")) <= mid))          # history → partials
+    out = t.append(ev.filter(F.unix_millis(F.col("ts").cast("timestamp")) > mid))     # incremental slice
+    return out.select(
+        "event_id", "user_id",
+        _r6(F.col("cum_sum").cast("double")).alias("cum_sum"),
+        "cum_cnt", _r6("cum_min").alias("cum_min"), _r6("cum_max").alias("cum_max"))
 
 
 def q_iceberg_scan(spark, sf_dir):
@@ -673,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backfill_transcripts": q_backfill_transcripts,
         "request_transcripts": q_request_transcripts,
         "long_window_unbounded": q_long_window_unbounded,
+        "preagg_incremental": q_preagg_incremental,
         "nth_value_where_window": q_nth_value_where_window,
         "topn_cate_window": q_topn_cate_window,
         "fz_split_window": q_fz_split_window,
@@ -977,6 +1011,25 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "preagg_incremental": """
+            WITH b AS (
+              SELECT (epoch_ms(MIN(ts)) + epoch_ms(MAX(ts))) // 2 AS mid
+              FROM events
+            ),
+            w AS (
+              SELECT event_id, user_id, ts,
+                     CAST(SUM(CAST(value AS DECIMAL(20,6))) OVER win AS DOUBLE) AS cum_sum,
+                     COUNT(value) OVER win AS cum_cnt,
+                     MIN(value) OVER win AS cum_min,
+                     MAX(value) OVER win AS cum_max
+              FROM events
+              WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            )
+            SELECT event_id, user_id, ROUND(cum_sum, 6) AS cum_sum, cum_cnt,
+                   ROUND(cum_min, 6) AS cum_min, ROUND(cum_max, 6) AS cum_max
+            FROM w, b WHERE epoch_ms(w.ts) > b.mid
         """,
         "nth_value_where_window": _RN_CTE + """
             SELECT a.event_id, a.user_id,

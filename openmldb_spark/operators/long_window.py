@@ -44,7 +44,8 @@ from pyspark.sql import types as T
 from openmldb_spark.operators.window import Agg, WindowSpec
 
 __all__ = ["long_window_agg", "long_window_eligible", "split_decomposable",
-           "rewrite_unbounded_distinct_count"]
+           "rewrite_unbounded_distinct_count", "partial_exprs", "partial_cols",
+           "merge_exprs", "carry_exprs", "running_cols", "combine_cols"]
 
 _DECOMPOSABLE = {"sum", "count", "avg", "min", "max",
                  "sum_where", "count_where", "avg_where", "min_where", "max_where"}
@@ -150,6 +151,154 @@ def _order_ms(df: DataFrame, order_by: str) -> Column:
     return F.col(order_by).cast("long")
 
 
+# ---------------------------------------------------------------------------
+# partial / carry / merge / combine building blocks — shared by the
+# per-job plan (long_window_agg) and the materialized incremental state
+# (operators/preagg.py, the batch analogue of src/storage/aggregator.h)
+# ---------------------------------------------------------------------------
+
+
+def _base(a: Agg) -> str:
+    return a.func[:-6] if a.func.endswith("_where") else a.func
+
+
+def _src(a: Agg) -> Column:
+    """Per-aggregate masked source column (``*_where`` masks with cond)."""
+    c = F.col(a.col) if a.col else F.lit(1)
+    if a.cond:
+        c = F.when(F.col(a.cond), c)
+    return c
+
+
+def partial_exprs(aggs: list[Agg]) -> list[Column]:
+    """Bucket-partial aggregate expressions — one pre-agg table row per
+    (key, bucket), the reference's aggregator.h:40-56 storage shape."""
+    out = []
+    for i, a in enumerate(aggs):
+        b, c = _base(a), _src(a)
+        if b in ("sum", "avg"):
+            out.append(F.sum(c).alias(f"__s{i}__"))
+            out.append(F.count(c).alias(f"__c{i}__"))
+        elif b == "count":
+            out.append(F.count(c).alias(f"__c{i}__"))
+        elif b == "min":
+            out.append(F.min(c).alias(f"__m{i}__"))
+        else:  # max
+            out.append(F.max(c).alias(f"__m{i}__"))
+    return out
+
+
+def partial_cols(aggs: list[Agg]) -> list[str]:
+    """Names of the partial columns ``partial_exprs`` emits, in order."""
+    return [
+        n for i, a in enumerate(aggs)
+        for n in ((f"__s{i}__", f"__c{i}__") if _base(a) in ("sum", "avg")
+                  else (f"__c{i}__",) if _base(a) == "count"
+                  else (f"__m{i}__",))
+    ]
+
+
+def merge_exprs(aggs: list[Agg]) -> list[Column]:
+    """Re-merge partial rows for the same (key, bucket) — partials are
+    associative, so appended generations combine by re-aggregation."""
+    out = []
+    for i, a in enumerate(aggs):
+        b = _base(a)
+        if b in ("sum", "avg"):
+            out.append(F.sum(f"__s{i}__").alias(f"__s{i}__"))
+            out.append(F.sum(f"__c{i}__").alias(f"__c{i}__"))
+        elif b == "count":
+            out.append(F.sum(f"__c{i}__").alias(f"__c{i}__"))
+        elif b == "min":
+            out.append(F.min(f"__m{i}__").alias(f"__m{i}__"))
+        else:
+            out.append(F.max(f"__m{i}__").alias(f"__m{i}__"))
+    return out
+
+
+def carry_col_names(aggs: list[Agg]) -> list[str]:
+    """Names of the carry columns ``carry_exprs`` emits, in order."""
+    out = []
+    for i, a in enumerate(aggs):
+        b = _base(a)
+        if b in ("sum", "avg"):
+            out += [f"__ps{i}__", f"__pc{i}__"]
+        elif b == "count":
+            out.append(f"__pc{i}__")
+        else:
+            out.append(f"__pm{i}__")
+    return out
+
+
+def carry_exprs(aggs: list[Agg], wcum) -> list[Column]:
+    """Cumulative combine of bucket partials over ``wcum`` → the
+    carried state (__ps/__pc/__pm) joined back onto data rows."""
+    out = []
+    for i, a in enumerate(aggs):
+        b = _base(a)
+        if b in ("sum", "avg"):
+            out.append(F.sum(f"__s{i}__").over(wcum).alias(f"__ps{i}__"))
+            out.append(F.sum(f"__c{i}__").over(wcum).alias(f"__pc{i}__"))
+        elif b == "count":
+            out.append(F.sum(f"__c{i}__").over(wcum).alias(f"__pc{i}__"))
+        elif b == "min":
+            out.append(F.min(f"__m{i}__").over(wcum).alias(f"__pm{i}__"))
+        else:
+            out.append(F.max(f"__m{i}__").over(wcum).alias(f"__pm{i}__"))
+    return out
+
+
+def running_cols(df: DataFrame, aggs: list[Agg], wrun) -> DataFrame:
+    """Within-bucket running aggregates (__rs/__rc/__rm) — native
+    cumulative window in buffer order."""
+    for i, a in enumerate(aggs):
+        b, c = _base(a), _src(a)
+        if b in ("sum", "avg"):
+            df = df.withColumn(f"__rs{i}__", F.sum(c).over(wrun))
+            df = df.withColumn(f"__rc{i}__", F.count(c).over(wrun))
+        elif b == "count":
+            df = df.withColumn(f"__rc{i}__", F.count(c).over(wrun))
+        elif b == "min":
+            df = df.withColumn(f"__rm{i}__", F.min(c).over(wrun))
+        else:
+            df = df.withColumn(f"__rm{i}__", F.max(c).over(wrun))
+    return df
+
+
+def combine_cols(out: DataFrame, aggs: list[Agg], schema) -> DataFrame:
+    """carry ⊕ running → final feature columns (reference result
+    types: int sums wrap at declared width, avg → double)."""
+    int_wrap = (T.ByteType, T.ShortType, T.IntegerType)
+    from openmldb_spark.operators.window import _result_type
+
+    for i, a in enumerate(aggs):
+        b = _base(a)
+        rt = _result_type(a, schema[a.col].dataType if a.col else T.LongType())
+        if b == "sum":
+            e = F.coalesce(F.col(f"__ps{i}__"), F.lit(0)) + F.coalesce(F.col(f"__rs{i}__"), F.lit(0))
+            e = F.when(F.col(f"__ps{i}__").isNotNull() | F.col(f"__rs{i}__").isNotNull(), e)
+            if a.col and isinstance(schema[a.col].dataType, int_wrap):
+                dt = schema[a.col].dataType
+                bits = {T.ByteType: 8, T.ShortType: 16, T.IntegerType: 32}[type(dt)]
+                e = (F.pmod(e + F.lit(2 ** (bits - 1)), F.lit(2 ** bits)) - 2 ** (bits - 1)).cast(dt)
+            elif a.col:
+                e = e.cast(rt)
+        elif b == "count":
+            e = F.coalesce(F.col(f"__pc{i}__"), F.lit(0)) + F.col(f"__rc{i}__")
+        elif b == "avg":
+            s = F.coalesce(F.col(f"__ps{i}__"), F.lit(0)) + F.coalesce(F.col(f"__rs{i}__"), F.lit(0))
+            c = F.coalesce(F.col(f"__pc{i}__"), F.lit(0)) + F.coalesce(F.col(f"__rc{i}__"), F.lit(0))
+            e = F.when(c > 0, s.cast("double") / c)
+        elif b == "min":
+            e = F.least(F.col(f"__pm{i}__"), F.col(f"__rm{i}__"))
+            e = F.coalesce(e, F.col(f"__pm{i}__"), F.col(f"__rm{i}__")).cast(rt)
+        else:
+            e = F.greatest(F.col(f"__pm{i}__"), F.col(f"__rm{i}__"))
+            e = F.coalesce(e, F.col(f"__pm{i}__"), F.col(f"__rm{i}__")).cast(rt)
+        out = out.withColumn(a.name, e)
+    return out
+
+
 def long_window_agg(
     df: DataFrame,
     spec: WindowSpec,
@@ -179,98 +328,23 @@ def long_window_agg(
     df = df.filter(F.col(spec.order_by).isNotNull())
     work = df.withColumn(_B, (_order_ms(df, spec.order_by) / F.lit(int(bucket_ms))).cast("long"))
 
-    # per-aggregate masked source column (``*_where`` masks with cond)
-    def src(a: Agg) -> Column:
-        c = F.col(a.col) if a.col else F.lit(1)
-        if a.cond:
-            c = F.when(F.col(a.cond), c)
-        return c
-
     # 1. bucket partials — the pre-agg table (aggregator.h:40-56)
-    partial_aggs = []
-    for i, a in enumerate(aggs):
-        base = a.func[:-6] if a.func.endswith("_where") else a.func
-        c = src(a)
-        if base in ("sum", "avg"):
-            partial_aggs.append(F.sum(c).alias(f"__s{i}__"))
-            partial_aggs.append(F.count(c).alias(f"__c{i}__"))
-        elif base == "count":
-            partial_aggs.append(F.count(c).alias(f"__c{i}__"))
-        elif base == "min":
-            partial_aggs.append(F.min(c).alias(f"__m{i}__"))
-        else:  # max
-            partial_aggs.append(F.max(c).alias(f"__m{i}__"))
-    partials = work.groupBy(*keys, _B).agg(*partial_aggs)
+    partials = work.groupBy(*keys, _B).agg(*partial_exprs(aggs))
 
     # 2. carry = cumulative combine over buckets strictly before ours
     wcum = (Window.partitionBy(*keys).orderBy(_B)
             .rowsBetween(Window.unboundedPreceding, -1))
-    carry_cols = []
-    for i, a in enumerate(aggs):
-        base = a.func[:-6] if a.func.endswith("_where") else a.func
-        if base in ("sum", "avg"):
-            carry_cols.append(F.sum(f"__s{i}__").over(wcum).alias(f"__ps{i}__"))
-            carry_cols.append(F.sum(f"__c{i}__").over(wcum).alias(f"__pc{i}__"))
-        elif base == "count":
-            carry_cols.append(F.sum(f"__c{i}__").over(wcum).alias(f"__pc{i}__"))
-        elif base == "min":
-            carry_cols.append(F.min(f"__m{i}__").over(wcum).alias(f"__pm{i}__"))
-        else:
-            carry_cols.append(F.max(f"__m{i}__").over(wcum).alias(f"__pm{i}__"))
-    carry = partials.select(*keys, _B, *carry_cols)
+    carry = partials.select(*keys, _B, *carry_exprs(aggs, wcum))
 
     # 3. within-bucket running aggregates — native cumulative window
     # over (key, bucket): buffer order = (order key, tiebreak)
     order_cols = [F.col(spec.order_by)] + [F.col(c) for c in spec.tiebreak]
     wrun = (Window.partitionBy(*keys, _B).orderBy(*order_cols)
             .rowsBetween(Window.unboundedPreceding, 0))
-    run = work
-    for i, a in enumerate(aggs):
-        base = a.func[:-6] if a.func.endswith("_where") else a.func
-        c = src(a)
-        if base in ("sum", "avg"):
-            run = run.withColumn(f"__rs{i}__", F.sum(c).over(wrun))
-            run = run.withColumn(f"__rc{i}__", F.count(c).over(wrun))
-        elif base == "count":
-            run = run.withColumn(f"__rc{i}__", F.count(c).over(wrun))
-        elif base == "min":
-            run = run.withColumn(f"__rm{i}__", F.min(c).over(wrun))
-        else:
-            run = run.withColumn(f"__rm{i}__", F.max(c).over(wrun))
+    run = running_cols(work, aggs, wrun)
 
     # 4. combine — the carry table is keys × buckets rows; the join key
     # extends the running window's partitioning, so AQE can plan a
     # broadcast when small or reuse the (key, bucket) exchange when not
-    joined = run.join(carry, on=keys + [_B], how="left")
-    out = joined
-    int_wrap = (T.ByteType, T.ShortType, T.IntegerType)
-    from openmldb_spark.operators.window import _result_type
-
-    for i, a in enumerate(aggs):
-        base = a.func[:-6] if a.func.endswith("_where") else a.func
-        rt = _result_type(a, df.schema[a.col].dataType if a.col else T.LongType())
-        if base == "sum":
-            e = F.coalesce(F.col(f"__ps{i}__"), F.lit(0)) + F.coalesce(F.col(f"__rs{i}__"), F.lit(0))
-            e = F.when(F.col(f"__ps{i}__").isNotNull() | F.col(f"__rs{i}__").isNotNull(), e)
-            if a.col and isinstance(df.schema[a.col].dataType, int_wrap):
-                dt = df.schema[a.col].dataType
-                bits = {T.ByteType: 8, T.ShortType: 16, T.IntegerType: 32}[type(dt)]
-                e = (F.pmod(e + F.lit(2 ** (bits - 1)), F.lit(2 ** bits)) - 2 ** (bits - 1)).cast(dt)
-            elif a.col:
-                # decimal partials stay exact through the combine; the
-                # final cast then follows _result_type (decimal → double)
-                e = e.cast(rt)
-        elif base == "count":
-            e = F.coalesce(F.col(f"__pc{i}__"), F.lit(0)) + F.col(f"__rc{i}__")
-        elif base == "avg":
-            s = F.coalesce(F.col(f"__ps{i}__"), F.lit(0)) + F.coalesce(F.col(f"__rs{i}__"), F.lit(0))
-            c = F.coalesce(F.col(f"__pc{i}__"), F.lit(0)) + F.coalesce(F.col(f"__rc{i}__"), F.lit(0))
-            e = F.when(c > 0, s.cast("double") / c)
-        elif base == "min":
-            e = F.least(F.col(f"__pm{i}__"), F.col(f"__rm{i}__"))
-            e = F.coalesce(e, F.col(f"__pm{i}__"), F.col(f"__rm{i}__")).cast(rt)
-        else:
-            e = F.greatest(F.col(f"__pm{i}__"), F.col(f"__rm{i}__"))
-            e = F.coalesce(e, F.col(f"__pm{i}__"), F.col(f"__rm{i}__")).cast(rt)
-        out = out.withColumn(a.name, e)
+    out = combine_cols(run.join(carry, on=keys + [_B], how="left"), aggs, df.schema)
     return out.select(*df.columns, *[a.name for a in aggs])
