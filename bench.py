@@ -225,6 +225,17 @@ def main() -> None:
         asof=[AsOfSource(meta, on=["conv_id"], right_ts="ts", prefix="m_")],
     ).drop("__is_tool__"))
 
+    # q10d — request-mode worst case: FOUR requests per conversation,
+    # so the isolation probe must route to the per-request
+    # INSTANCE_NOT_IN_WINDOW kernel plan — the serving path's upper
+    # bound, not just the zero-Python single-request best case
+    req4 = tagged.filter(F.col("__rn__") <= 4).drop("__rn__")
+    hist4 = tagged.filter(F.col("__rn__") > 4).drop("__rn__")
+    queries["request_mode_inw"] = _run(request_features(
+        req4, hist4, "ts", [fw_req],
+        asof=[AsOfSource(meta, on=["conv_id"], right_ts="ts", prefix="m_")],
+    ).drop("__is_tool__"))
+
     # q11 — SQL-surface as-of LAST JOIN (union_asof routing: 0 Python
     # nodes, 1 Exchange)
     from openmldb_spark.sql import SqlEngine

@@ -727,6 +727,40 @@ def _rewrite_cate_group(sql: str, df: DataFrame | None) -> str:
     return sql
 
 
+def _balanced_span(sql: str, start: int) -> int:
+    """Index of the ``)`` closing the ``(`` at ``start``."""
+    depth = 0
+    for i in range(start, len(sql)):
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    return len(sql)
+
+
+def _window_clause_spans(sql: str) -> list[tuple[int, int]]:
+    """(start, end) spans of every WINDOW-clause definition body —
+    ``WINDOW w AS ( … )[, w2 AS ( … )]*`` — so request-mode rewriting
+    can leave their UNION subqueries reading stored tables."""
+    spans: list[tuple[int, int]] = []
+    for m in re.finditer(r"(?is)\bWINDOW\s+\w+\s+AS\s*\(", sql):
+        start = m.end() - 1
+        end = _balanced_span(sql, start)
+        spans.append((start, end))
+        j = end + 1
+        while True:
+            m2 = re.match(r"(?is)\s*,\s*\w+\s+AS\s*\(", sql[j:])
+            if not m2:
+                break
+            s2 = j + m2.end() - 1
+            e2 = _balanced_span(sql, s2)
+            spans.append((s2, e2))
+            j = e2 + 1
+    return spans
+
+
 def _rewrite_bool_arith(sql: str, bool_cols: set[str]) -> str:
     """Boolean columns used as arithmetic operands coerce to int
     (dialect: ``c2 % c9`` with c9 bool — expression/test_arithmetic);
@@ -1773,9 +1807,20 @@ class SqlEngine:
         # and each must see the request batch (fz_ddl test_myhug id=1:
         # out0/out1/out2 all scan flattenRequest). JOIN right-sides
         # (``last join main``) are not FROM scans and keep reading the
-        # stored table, as do windows (which union stored history).
+        # stored table, as do windows (which union stored history) —
+        # including explicit ``UNION (select … from main)`` subqueries
+        # inside WINDOW clauses: union sides read STORED rows, never the
+        # request batch (sibling requests must not enter each other's
+        # frames — INW only excludes primary rows; ADVICE r4).
+        protected = _window_clause_spans(dep["sql"])
+
+        def _swap(m):
+            if any(a <= m.start() < b for a, b in protected):
+                return m.group(0)
+            return f"FROM {self._REQ_VIEW}"
+
         sel = re.sub(rf"(?is)\bFROM\s+{re.escape(dep['main'])}\b",
-                     f"FROM {self._REQ_VIEW}", dep["sql"])
+                     _swap, dep["sql"])
         prev = getattr(self, "_request_ctx", None)
         self._request_ctx = {
             "main": dep["main"], "requests": reqs, "history": history,
@@ -2079,13 +2124,42 @@ class SqlEngine:
         tbl, col = m.group(1).lower(), m.group(2)
         return self._colmap.get((tbl, col.lower()), col)
 
+    _REL_KEYWORDS = frozenset(
+        "last left right inner outer full cross join where group order "
+        "window limit on union having as select from and or not in like "
+        "between exclude rows rows_range partition by desc asc".split())
+
+    def _stmt_rel_names(self, q: str) -> frozenset[str]:
+        """Relation names visible in a statement — FROM/JOIN table
+        tokens, their aliases, and subquery aliases. A two-part ``a.b``
+        whose qualifier is one of these is an alias/table column
+        reference, never a db-qualified table (alias shadows db)."""
+        names: set[str] = set()
+        for mt, alias in re.findall(
+                r"(?is)\b(?:FROM|JOIN)\s+((?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*)"
+                r"(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?", q):
+            names.add(mt.rsplit(".", 1)[-1].lower())
+            if alias:
+                names.add(alias.lower())
+        for alias in re.findall(r"(?is)\)\s*(?:AS\s+)?([A-Za-z_]\w*)", q):
+            names.add(alias.lower())
+        return frozenset(names - self._REL_KEYWORDS)
+
     def _flatten_db_names(self, s: str) -> str:
         """``db.tbl`` → flat registry token for registered tables;
         ``current_db.x`` → bare ``x`` (default-db qualification is a
         no-op, covering subquery aliases: multiple_databases id=7/9).
-        Unknown-db qualifications are left for resolution to reject."""
+        Unknown-db qualifications are left for resolution to reject.
+        Qualifiers naming a relation visible in the statement
+        (``self._rel_names``, set by ``sql()``) are column references —
+        ``t1.c1`` with alias/table ``t1`` must not be mangled even when
+        a database ``t1`` holding a table ``c1`` exists."""
+        rel_names = getattr(self, "_rel_names", frozenset())
+
         def rep(m):
             db, tbl = m.group(1).lower(), m.group(2)
+            if db in rel_names:
+                return m.group(0)
             d = self.databases.get(db)
             if d is not None and tbl.lower() in d:
                 flat = _db_flat(db, tbl.lower())
@@ -2194,7 +2268,9 @@ class SqlEngine:
         if self.databases:
             # flatten db-qualified table names to plain identifiers so
             # every downstream parse path (FROM chains, window refs,
-            # three-part column refs) sees ordinary table tokens
+            # three-part column refs) sees ordinary table tokens;
+            # statement-visible aliases/tables shadow database names
+            self._rel_names = self._stmt_rel_names(q)
             q = _map_outside_strings(q, self._flatten_db_names)
         if re.match(r"(?is)^CREATE\s+TABLE\b", q):
             return self._ddl_create(q)

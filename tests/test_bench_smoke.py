@@ -31,6 +31,7 @@ EXPECTED_QUERIES = {
     "generic_aggs_1k_frame",
     "cate_aggs_1k_frame",
     "request_mode",
+    "request_mode_inw",
     "sql_asof_join",
 }
 

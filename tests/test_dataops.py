@@ -198,7 +198,10 @@ def test_multimodal_decode_real_or_stub():
 
         from PIL import Image
     except ImportError:
-        return  # stub-only environment: fallback path verified above
+        import pytest
+
+        pytest.skip("PIL not installed: real-decode path not exercisable "
+                    "here (stub fallback verified above)")
     buf = io.BytesIO()
     Image.new("L", (4, 4), color=128).save(buf, format="PNG")
     png = buf.getvalue()

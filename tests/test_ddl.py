@@ -33,3 +33,24 @@ def test_create_as_select_and_insert_select(spark):
     rows = eng.sql("select id, v2 from dst").orderBy("id").collect()
     assert [(r.id, r.v2) for r in rows] == [
         (1, 20), (2, 40), (11, 10), (12, 20)]
+
+
+def test_alias_shadows_database_name(spark):
+    """A statement alias (or FROM table) that collides with a
+    registered database name must win: ``t1.c1`` with alias t1 is a
+    column reference even when database t1 holds a table c1
+    (ADVICE r4: _flatten_db_names alias collision)."""
+    from openmldb_spark.sql import SqlEngine
+
+    eng = SqlEngine(spark)
+    eng.register("c1", spark.createDataFrame([(9,)], "x int"), db="t1")
+    eng.sql("create database main_db")
+    eng.sql("use main_db")
+    eng.sql("create table base (c1 int, k int)")
+    eng.sql("insert into base values (5, 1)")
+    # alias qualification — NOT the db table
+    assert eng.sql("select t1.c1 from base t1").collect()[0][0] == 5
+    # unaliased table-name qualification — also shadowed
+    assert eng.sql("select base.c1 from base").collect()[0][0] == 5
+    # genuine cross-db reference still flattens to the db table
+    assert eng.sql("select x from t1.c1").collect()[0][0] == 9

@@ -140,3 +140,25 @@ def test_request_schema_mismatch_errors(eng, spark):
         eng.request("d1", bad)
     with pytest.raises(ValueError, match="unknown deployment"):
         eng.request("nope", bad)
+
+
+def test_window_union_subquery_reads_stored(eng, spark):
+    """An explicit ``UNION (select … from <main>)`` inside a WINDOW
+    clause reads the STORED main table, not the request batch — and
+    sibling requests never enter each other's frames through the union
+    side (ADVICE r4: request() FROM swap must skip WINDOW spans)."""
+    eng.sql(
+        "DEPLOY d3 SELECT conv_id, ts, count(v) OVER w AS n2, sum(v) OVER w AS s2 "
+        "FROM conv_hist "
+        "WINDOW w AS (UNION (select * from conv_hist) "
+        "PARTITION BY conv_id ORDER BY ts "
+        "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)")
+    # two requests on the SAME key at the same anchor region: each must
+    # see only stored rows + itself, never the sibling request
+    reqs = spark.createDataFrame(
+        [("c1", 5, 1000.0, "user"), ("c1", 5, 2000.0, "user")],
+        "conv_id string, ts bigint, v double, role string")
+    got = sorted((r.n2, r.s2) for r in eng.request("d3", reqs).collect())
+    # frame = 1 stored row at ts<=5 (v=5 from ts 5... stored ts 5 v=5 —
+    # union side newest ≤ anchor) + the request row itself
+    assert got == [(2, 1005.0), (2, 2005.0)]

@@ -166,7 +166,6 @@ KNOWN_DIVERGENCES = {
         "text ('c2+1'), the reference pretty-prints the AST ('c2 + 1')"
     ),
     ("simple_query.yaml", "4-2"): "case SQL uses undefined function 'timestampaddd' (typo in corpus)",
-    ("window_query.yaml", "23"): "isnull-of-window-call coercion corner",
     ("union_query.yml", "0"): "unordered LAST JOIN on index-less union subquery (storage-order defined)",
     ("union_query.yml", "1"): "unordered LAST JOIN on index-less union subquery (storage-order defined)",
     ("union_query.yml", "5"): "bare column through WINDOW UNION subquery",
