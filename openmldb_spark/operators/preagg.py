@@ -56,7 +56,7 @@ from openmldb_spark.operators.long_window import (
 )
 from openmldb_spark.operators.window import Agg, WindowSpec
 
-__all__ = ["PreAggTable"]
+__all__ = ["PreAggTable", "serve_long_window", "long_window_serveable"]
 
 _META = "_preagg_meta.json"
 _WM = "__pa_max_ord__"
@@ -145,6 +145,33 @@ class PreAggTable:
         return raw.groupBy(*keys, _B).agg(*merge_exprs(self.aggs),
                                           F.max(_WM).alias(_WM))
 
+    def key_watermarks(self) -> DataFrame | None:
+        """Per-key high-watermark (max ingested order ms) — derived
+        from the partials, so it costs a scan of metadata-sized state,
+        never of history."""
+        P = self.partials()
+        if P is None:
+            return None
+        keys = list(self.spec.partition_by)
+        return P.groupBy(*keys).agg(F.max(_WM).alias("__pa_wm__"))
+
+    def append_tail(self, df: DataFrame) -> None:
+        """Idempotent catch-up: ingest only the rows of ``df`` STRICTLY
+        newer than their key's watermark (new keys ingest whole).
+        ``df`` may be the full current table — already-ingested history
+        is filtered by the per-key watermark join, so re-running after
+        new data lands appends only the new buckets."""
+        wmk = self.key_watermarks()
+        if wmk is None:
+            new = df
+        else:
+            keys = list(self.spec.partition_by)
+            ord_ms = _order_ms(df, self.spec.order_by)
+            new = (df.join(F.broadcast(wmk), on=keys, how="left")
+                   .filter(F.col("__pa_wm__").isNull() | (ord_ms > F.col("__pa_wm__")))
+                   .drop("__pa_wm__"))
+        self.append(new)
+
     # -- append ---------------------------------------------------------------
 
     def append(self, df: DataFrame) -> DataFrame:
@@ -165,15 +192,22 @@ class PreAggTable:
         work = work.withColumn(_B, (ord_ms / F.lit(self.bucket_ms)).cast("long"))
 
         wm = self.meta["watermark_ms"]
-        if wm is not None:
-            # one tiny job over the new chunk; at scale this is a
-            # min() over the append, not a history scan
-            lo = work.select(F.min(ord_ms).alias("o")).collect()[0]["o"]
-            if lo is not None and lo < wm:
+        wmk = self.key_watermarks()
+        if wmk is not None:
+            # PER-KEY ordered-append validation (the reference's
+            # aggregator orders per key/index, not globally): one tiny
+            # job over new-chunk keys × the metadata-sized partials
+            viol = (work.withColumn("__o__", ord_ms)
+                    .join(wmk, on=keys, how="inner")
+                    .filter(F.col("__o__") < F.col("__pa_wm__"))
+                    .select(*keys, "__o__", "__pa_wm__").limit(1).collect())
+            if viol:
+                v = viol[0]
                 raise ValueError(
-                    f"out-of-order append: min order {lo} < watermark {wm}; "
-                    f"pre-agg state requires ordered appends (rebuild or "
-                    f"compact from raw history for corrections)")
+                    f"out-of-order append: key {tuple(v[k] for k in keys)} "
+                    f"has order {v['__o__']} < its watermark {v['__pa_wm__']}; "
+                    f"pre-agg state requires per-key ordered appends "
+                    f"(rebuild or compact from raw history for corrections)")
 
         hist = self.partials()
         own = work.groupBy(*keys, _B).agg(
@@ -260,3 +294,174 @@ class PreAggTable:
         self.meta["generations"] = [{"dir": "gen=0", "pairs": n, "wall_sec": 0.0}]
         self._save_meta()
         return n
+
+
+# ---------------------------------------------------------------------------
+# request-mode serving over materialized partials — the batch analogue
+# of the reference's long-window optimized DEPLOY
+# (OPTIONS(long_windows=...), docs/en/openmldb_sql/deployment_manage/
+# DEPLOY_STATEMENT.md:110-160; online pre-agg read path aggregator.cc)
+# ---------------------------------------------------------------------------
+
+_SERVE_FUNCS = frozenset(
+    ["sum", "count", "avg", "min", "max",
+     "sum_where", "count_where", "avg_where", "min_where", "max_where"])
+
+
+def long_window_serveable(spec: WindowSpec, aggs: list, history) -> bool:
+    """True when (spec, aggs) can be served from bucket partials:
+    decomposable aggregates over plain columns, and a frame that is
+    either UNBOUNDED..CURRENT ROW or a bounded ROWS_RANGE ms offset
+    (the reference's long-window limitation list). ``*_where`` conds
+    must be evaluable on the history side."""
+    if spec.maxsize or spec.exclude_current_time or spec.exclude_current_row \
+            or spec.end_preceding or spec.end_is_offset \
+            or spec.open_preceding or spec.open_end:
+        return False
+    if spec.preceding is not None and spec.frame != "rows_range":
+        return False  # row-count frames can't bucket-prune
+    hist_cols = set(history.columns)
+    for a in aggs:
+        if a.func not in _SERVE_FUNCS or a.split or a.cate or a.pair or a.cond_pair:
+            return False
+        if a.cond and a.cond not in hist_cols:
+            return False
+        base = a.func[:-6] if a.func.endswith("_where") else a.func
+        if base in ("sum", "avg"):
+            from pyspark.sql import types as T
+
+            if a.col is None or a.col not in hist_cols \
+                    or not isinstance(history.schema[a.col].dataType,
+                                      (T.ByteType, T.ShortType, T.IntegerType,
+                                       T.LongType, T.FloatType, T.DoubleType,
+                                       T.DecimalType)):
+                return False
+        elif a.col is not None and a.col not in hist_cols:
+            return False
+    return True
+
+
+def serve_long_window(requests, history, state: PreAggTable,
+                      spec: WindowSpec, aggs: list,
+                      req_id: str = "__req_id__"):
+    """Point-in-time long-window features for ``requests`` using the
+    materialized bucket partials in ``state`` — FULL buckets inside the
+    frame come from the (metadata-sized, broadcast) pre-agg table;
+    only the EDGE buckets are read from raw history, with a pushable
+    global time bound so a 10^12-turn table scans O(requests ×
+    bucket_width) rows instead of full history. Each request sees
+    stored rows + itself, never sibling requests (per-request
+    isolation by construction — the reference's serving contract).
+
+    Frames: UNBOUNDED..CURRENT ROW, or bounded ROWS_RANGE [t-Δ, t].
+    Returns ``requests`` with one column per aggregate appended."""
+    from functools import reduce
+    from operator import and_
+
+    from pyspark.sql import types as T
+
+    from openmldb_spark.operators.long_window import (
+        merge_exprs as _merge, partial_cols as _pcols, partial_exprs as _pexprs)
+    from openmldb_spark.operators.window import _result_type
+
+    W = state.bucket_ms
+    keys = list(spec.partition_by)
+    bounded = spec.preceding is not None
+
+    a_ms = _order_ms(requests, spec.order_by)
+    r = (requests
+         .withColumn("__a__", a_ms)
+         .withColumn("__b__", (F.col("__a__") / F.lit(W)).cast("long")))
+    if bounded:
+        r = r.withColumn("__lo__", F.col("__a__") - F.lit(int(spec.preceding)))
+        r = r.withColumn("__b0__", (F.col("__lo__") / F.lit(W)).cast("long"))
+    r = r.select(req_id, *keys, "__a__", "__b__",
+                 *(["__lo__", "__b0__"] if bounded else []))
+
+    pcols = _pcols(aggs)
+
+    # ---- carry: full buckets strictly inside the frame, from partials
+    P = state.partials()
+    if P is not None:
+        cond = reduce(and_, [F.col(f"r.{k}").eqNullSafe(F.col(f"p.{k}"))
+                             for k in keys])
+        cond = cond & (F.col(f"p.{_B}") < F.col("r.__b__"))
+        if bounded:
+            cond = cond & (F.col(f"p.{_B}") > F.col("r.__b0__"))
+        carry = (r.alias("r")
+                 .join(F.broadcast(P.alias("p")), cond, "left")
+                 .groupBy(f"r.{req_id}")
+                 .agg(*_merge(aggs)))
+        carry = carry.select(F.col(f"r.{req_id}").alias(req_id),
+                             *[F.col(c).alias(f"__car_{c}") for c in pcols])
+    else:
+        carry = None
+
+    # ---- edge buckets from raw history, globally time-pruned
+    # (driver-side min over the SERVING batch — metadata-sized)
+    lo_col = "__b0__" if bounded else "__b__"
+    gmin = r.agg(F.min(F.col(lo_col) * F.lit(W)).alias("g")).collect()[0]["g"]
+    h_ms = _order_ms(history, spec.order_by)
+    H = history.withColumn("__hms__", h_ms) \
+               .withColumn("__hb__", (h_ms / F.lit(W)).cast("long"))
+    if gmin is not None:
+        H = H.filter(F.col("__hms__") >= gmin)
+    econd = reduce(and_, [F.col(f"r.{k}").eqNullSafe(F.col(f"h.{k}"))
+                          for k in keys])
+    in_edge = F.col(f"h.__hb__") == F.col("r.__b__")
+    if bounded:
+        in_edge = in_edge | (F.col(f"h.__hb__") == F.col("r.__b0__"))
+    econd = econd & in_edge & (F.col("h.__hms__") <= F.col("r.__a__"))
+    if bounded:
+        econd = econd & (F.col("h.__hms__") >= F.col("r.__lo__"))
+    edge = (r.alias("r").join(H.alias("h"), econd, "inner")
+            .groupBy(f"r.{req_id}")
+            .agg(*[e for e in _pexprs(aggs)]))
+    edge = edge.select(F.col(f"r.{req_id}").alias(req_id),
+                       *[F.col(c).alias(f"__edg_{c}") for c in pcols])
+
+    # ---- fold: carry ⊕ edge ⊕ the request row itself (current row)
+    out = requests.join(edge, on=req_id, how="left")
+    if carry is not None:
+        out = out.join(carry, on=req_id, how="left")
+    else:
+        for c in pcols:
+            out = out.withColumn(f"__car_{c}", F.lit(None))
+
+    int_wrap = (T.ByteType, T.ShortType, T.IntegerType)
+    for i, a in enumerate(aggs):
+        base = a.func[:-6] if a.func.endswith("_where") else a.func
+        own = F.col(a.col) if a.col else F.lit(1)
+        gate = F.col(a.cond) if a.cond else F.lit(True)
+        own = F.when(gate.eqNullSafe(F.lit(True)), own)
+        rt = _result_type(a, requests.schema[a.col].dataType if a.col
+                          else T.LongType())
+        cs, cc, cm = f"__car___s{i}__", f"__car___c{i}__", f"__car___m{i}__"
+        es, ec, em = f"__edg___s{i}__", f"__edg___c{i}__", f"__edg___m{i}__"
+        if base in ("sum", "avg"):
+            s = (F.coalesce(F.col(cs), F.lit(0)) + F.coalesce(F.col(es), F.lit(0))
+                 + F.coalesce(own, F.lit(0)))
+            s = F.when(F.col(cs).isNotNull() | F.col(es).isNotNull()
+                       | own.isNotNull(), s)
+            c = (F.coalesce(F.col(cc), F.lit(0)) + F.coalesce(F.col(ec), F.lit(0))
+                 + F.when(own.isNotNull(), 1).otherwise(0))
+            if base == "avg":
+                e = F.when(c > 0, s.cast("double") / c)
+            else:
+                dt = requests.schema[a.col].dataType
+                if isinstance(dt, int_wrap):
+                    bits = {T.ByteType: 8, T.ShortType: 16,
+                            T.IntegerType: 32}[type(dt)]
+                    e = (F.pmod(s + F.lit(2 ** (bits - 1)), F.lit(2 ** bits))
+                         - 2 ** (bits - 1)).cast(dt)
+                else:
+                    e = s.cast(rt)
+        elif base == "count":
+            e = (F.coalesce(F.col(cc), F.lit(0)) + F.coalesce(F.col(ec), F.lit(0))
+                 + F.when(own.isNotNull(), 1).otherwise(0)).cast("long")
+        elif base == "min":
+            e = F.least(F.col(cm), F.col(em), own.cast(rt)).cast(rt)
+        else:
+            e = F.greatest(F.col(cm), F.col(em), own.cast(rt)).cast(rt)
+        out = out.withColumn(a.name, e)
+    return out.select(*requests.columns, *[a.name for a in aggs])

@@ -1517,9 +1517,43 @@ class SqlEngine:
             raise ValueError("DEPLOY requires SELECT ... FROM <stored table>")
         main = mf.group(1).lower()
         self._table(main)  # validate the main table exists at deploy time
+        lw = self._parse_long_windows((m.group(3) or ""), sel, main)
         self.deployments[name] = {
-            "sql": sel, "main": main, "options": (m.group(3) or "").strip()}
+            "sql": sel, "main": main, "options": (m.group(3) or "").strip(),
+            "long_windows": lw}
         return self.spark.range(0).select(F.lit(name).alias("deployment"))
+
+    def _parse_long_windows(self, opts: str, sel: str, main: str) -> dict[str, int]:
+        """``OPTIONS(long_windows="w1:1d[,w2:4h]")`` → {window: bucket
+        ms}. Reference surface: DEPLOY_STATEMENT.md:110-160 — pre-agg
+        buckets per named window; interval bucket sizes (default 1d);
+        the main table must be empty at DEPLOY time (partials are then
+        maintained incrementally as data arrives, aggregator.cc)."""
+        mlw = re.search(r"(?is)\blong_windows\s*=\s*([\"'])(.*?)\1", opts)
+        if not mlw:
+            return {}
+        lw: dict[str, int] = {}
+        mult = {"s": 1_000, "m": 60_000, "h": 3_600_000, "d": 86_400_000}
+        for part in mlw.group(2).split(","):
+            part = part.strip()
+            if not part:
+                continue
+            wn, _, bs = part.partition(":")
+            bs = bs.strip() or "1d"
+            mi = re.fullmatch(r"(\d+)([smhd])", bs)
+            if not mi:
+                raise ValueError(
+                    f"long_windows bucket size {bs!r}: only interval "
+                    f"literals (Ns/Nm/Nh/Nd) are supported")
+            lw[wn.strip().lower()] = int(mi.group(1)) * mult[mi.group(2)]
+        for wn in lw:
+            if not re.search(rf"(?is)\b{re.escape(wn)}\s+AS\s*\(", sel):
+                raise ValueError(f"long_windows names unknown window {wn!r}")
+        if lw and not self._table(main).isEmpty():
+            raise ValueError(
+                "long_windows deployment requires an empty main table at "
+                "DEPLOY time (DEPLOY_STATEMENT.md limitation)")
+        return lw
 
     def _ddl_create_index(self, tbl: str, cols_txt: str,
                           opts_txt: str | None) -> DataFrame:
@@ -1578,6 +1612,11 @@ class SqlEngine:
         Under ``execute_mode=offline`` the write targets the table's
         offline store, leaving online data untouched."""
         n = name.lower()
+        # version counter: long-window pre-agg serving states catch up
+        # (append rows past their watermark) only when this moves
+        if not hasattr(self, "_table_versions"):
+            self._table_versions = {}
+        self._table_versions[n] = self._table_versions.get(n, 0) + 1
         if self._exec_mode() == "offline":
             self._table(n)  # validate the definition exists
             self.offline_tables[n] = df
@@ -1825,12 +1864,49 @@ class SqlEngine:
         self._request_ctx = {
             "main": dep["main"], "requests": reqs, "history": history,
             "independent": independent, "_iso": {},
+            "name": name.lower(), "lw": dep.get("long_windows") or {},
         }
         try:
             out = self.sql(sel)
             return out.drop(*[c for c in out.columns if "__req_id__" in c])
         finally:
             self._request_ctx = prev
+
+    def _lw_state(self, ctx: dict, wname: str, spec: WindowSpec,
+                  aggs: list[Agg], hist: DataFrame, bucket_ms: int):
+        """Materialized pre-agg state for one long-window deployment
+        window — built once from stored history, then caught up
+        incrementally: when the main table's version moves, only rows
+        past the state's watermark are appended (the reference loads
+        long-window data in increasing ts order; same contract here,
+        DEPLOY_STATEMENT.md 'loaded in the increasing order of the
+        timestamp column')."""
+        import tempfile
+
+        from openmldb_spark.operators.preagg import PreAggTable
+
+        key = (ctx["name"], wname.lower())
+        states = getattr(self, "_lw_states", None)
+        if states is None:
+            states = self._lw_states = {}
+        ver = getattr(self, "_table_versions", {}).get(ctx["main"], 0)
+        ent = states.get(key)
+        if ent is None:
+            d = tempfile.mkdtemp(prefix="omldb_lw_") + "/state"
+            plain = WindowSpec(spec.partition_by, spec.order_by, "rows",
+                               None, tiebreak=spec.tiebreak)
+            t = PreAggTable.create(self.spark, d, plain, list(aggs),
+                                   bucket_ms=bucket_ms)
+            t.append(hist)
+            states[key] = {"t": t, "ver": ver}
+            return t
+        t = ent["t"]
+        if ent["ver"] != ver:
+            # idempotent per-key catch-up: only rows past each key's
+            # watermark are ingested from the current table
+            t.append_tail(hist)
+            ent["ver"] = ver
+        return t
 
     def _request_needs_inw(self, ctx: dict, spec: WindowSpec,
                            df: DataFrame) -> bool:
@@ -2770,6 +2846,27 @@ class SqlEngine:
                     instance_not_in_window=wd.instance_not_in_window,
                 )
                 union = [self._resolve_table(t) for t in wd.union_tables] or None
+                if req_active and not union \
+                        and wname.lower() in (req_ctx.get("lw") or {}):
+                    # long-window optimized deployment: serve from the
+                    # materialized bucket partials + edge-bucket raw
+                    # scan instead of a full-history WINDOW UNION
+                    # (reference DEPLOY OPTIONS(long_windows=...))
+                    from openmldb_spark.operators.preagg import (
+                        long_window_serveable, serve_long_window)
+
+                    hist_lw = hist_df
+                    for tname, texpr in all_tmps:
+                        try:
+                            hist_lw = hist_lw.withColumn(tname, F.expr(texpr))
+                        except Exception:  # noqa: BLE001 — missing cols
+                            pass
+                    if long_window_serveable(spec, aggs, hist_lw):
+                        state = self._lw_state(
+                            req_ctx, wname, spec, aggs, hist_lw,
+                            req_ctx["lw"][wname.lower()])
+                        df = serve_long_window(df, hist_lw, state, spec, aggs)
+                        continue
                 if req_active:
                     # a window over the request primary draws its
                     # frames from the stored history (RequestUnion)
