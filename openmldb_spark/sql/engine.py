@@ -1872,6 +1872,66 @@ class SqlEngine:
         finally:
             self._request_ctx = prev
 
+    # --- job management (reference TaskManager surface: SHOW JOBS /
+    # SHOW JOB id / STOP JOB id — docs/en/openmldb_sql/task_manage/*,
+    # JobInfo schema java/openmldb-taskmanager/.../dao/JobInfo.java) ---
+
+    _JOB_SCHEMA = ("job_id int, job_type string, state string, "
+                   "start_time string, end_time string, parameter string, "
+                   "cluster string, application_id string, error string, "
+                   "db string, name string, pid string, cur_task string, "
+                   "component string")
+
+    def _record_job(self, job_type: str, parameter: str, fn):
+        """Run a data job (LOAD DATA / SELECT INTO), recording it in
+        the TaskManager-shaped job registry. The engine executes
+        synchronously, so jobs land in a FINAL_STATE immediately —
+        'finished' or 'failed' (JobInfo.java:32)."""
+        import os
+        import time as _time
+
+        if not hasattr(self, "_jobs"):
+            self._jobs = []
+        job = {
+            "job_id": len(self._jobs) + 1, "job_type": job_type,
+            "state": "running",
+            "start_time": _time.strftime("%Y-%m-%d %H:%M:%S"),
+            "end_time": None, "parameter": parameter,
+            "cluster": self.spark.conf.get("spark.master", "local"),
+            "application_id": self.spark.sparkContext.applicationId,
+            "error": None, "db": self.current_db or None, "name": None,
+            "pid": str(os.getpid()), "cur_task": None,
+            "component": "TaskManager",
+        }
+        self._jobs.append(job)
+        try:
+            out = fn()
+            job["state"] = "finished"
+            return out
+        except Exception as e:  # noqa: BLE001 — recorded, then re-raised
+            job["state"] = "failed"
+            job["error"] = str(e)[:500]
+            raise
+        finally:
+            job["end_time"] = _time.strftime("%Y-%m-%d %H:%M:%S")
+
+    def _job_statement(self, verb: str, jid: str | None) -> DataFrame:
+        jobs = getattr(self, "_jobs", [])
+        if jid is not None:
+            sel = [j for j in jobs if j["job_id"] == int(jid)]
+            if not sel:
+                raise ValueError(f"job {jid} not found")
+            if verb == "STOP" and sel[0]["state"] not in (
+                    "finished", "failed", "killed", "lost", "stopped"):
+                sel[0]["state"] = "stopped"
+        elif verb == "STOP":
+            raise ValueError("STOP JOB requires a job id")
+        else:
+            sel = jobs
+        cols = [c.split()[0] for c in self._JOB_SCHEMA.split(", ")]
+        return self.spark.createDataFrame(
+            [tuple(j[c] for c in cols) for j in sel], self._JOB_SCHEMA)
+
     def _lw_state(self, ctx: dict, wname: str, spec: WindowSpec,
                   aggs: list[Agg], hist: DataFrame, bucket_ms: int):
         """Materialized pre-agg state for one long-window deployment
@@ -2394,15 +2454,25 @@ class SqlEngine:
             r"(?is)^LOAD\s+DATA\s+INFILE\s+'([^']+)'\s+INTO\s+TABLE\s+"
             r"([A-Za-z_]\w*)\s*(?:OPTIONS\s*\((.*)\))?\s*$", q)
         if mload:
-            return self._dml_load_data(mload.group(1), mload.group(2),
-                                       mload.group(3))
+            jt = ("ImportOfflineData" if self._exec_mode() == "offline"
+                  else "ImportOnlineData")
+            return self._record_job(
+                jt, mload.group(1),
+                lambda: self._dml_load_data(mload.group(1), mload.group(2),
+                                            mload.group(3)))
         mout = re.match(
             r"(?is)^(SELECT\b.*?)\bINTO\s+OUTFILE\s+'([^']+)'"
             r"\s*(?:OPTIONS\s*\((.*)\))?\s*$", q)
         if mout:
-            df = self._sql(mout.group(1))
-            self._write_outfile(df, mout.group(2), mout.group(3))
-            return df
+            def _go():
+                df = self._sql(mout.group(1))
+                self._write_outfile(df, mout.group(2), mout.group(3))
+                return df
+            return self._record_job("ExportOfflineData", mout.group(2), _go)
+        mjob = re.match(r"(?is)^(SHOW|STOP)\s+JOBS?\s*(\d+)?\s*"
+                        r"(?:FROM\s+TASKMANAGER\s*)?$", q)
+        if mjob:
+            return self._job_statement(mjob.group(1).upper(), mjob.group(2))
         # a fully parenthesized statement is its inner statement
         while q.startswith("(") and q.endswith(")"):
             depth = 0

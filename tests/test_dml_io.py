@@ -132,3 +132,42 @@ def test_multi_database_namespace(spark):
     e.sql("drop database dbx")
     with pytest.raises(ValueError):
         e.sql("select * from tx")
+
+
+def test_job_management_surface(spark, tmp_path):
+    """SHOW JOBS / SHOW JOB id / STOP JOB id — the TaskManager job
+    registry (docs/en/openmldb_sql/task_manage/*; JobInfo.java:32).
+    The engine runs jobs synchronously, so LOAD DATA / SELECT INTO
+    land in a FINAL_STATE immediately."""
+    import pytest
+
+    from openmldb_spark.sql import SqlEngine
+
+    eng = SqlEngine(spark)
+    eng.sql("create table jt (a int, b string)")
+    eng.sql("insert into jt values (1, 'x'), (2, 'y')")
+    out = str(tmp_path / "out.parquet")
+    eng.sql(f"select * from jt into outfile '{out}' options(format='parquet')")
+    eng.sql(f"load data infile '{out}' into table jt "
+            f"options(format='parquet', mode='append')")
+
+    jobs = {r.job_id: r for r in eng.sql("show jobs").collect()}
+    assert len(jobs) == 2
+    assert jobs[1].job_type == "ExportOfflineData"
+    assert jobs[2].job_type == "ImportOnlineData"
+    assert all(j.state == "finished" and j.component == "TaskManager"
+               for j in jobs.values())
+
+    one = eng.sql("show job 2").collect()
+    assert len(one) == 1 and one[0].parameter == out
+
+    # STOP on a finished job is a no-op returning the row
+    assert eng.sql("stop job 2").collect()[0].state == "finished"
+    with pytest.raises(ValueError, match="not found"):
+        eng.sql("show job 99")
+
+    # failed jobs are recorded with the error
+    with pytest.raises(Exception):
+        eng.sql("load data infile '/nope.csv' into table jt")
+    j3 = eng.sql("show job 3").collect()[0]
+    assert j3.state == "failed" and j3.error
