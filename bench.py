@@ -236,6 +236,40 @@ def main() -> None:
         asof=[AsOfSource(meta, on=["conv_id"], right_ts="ts", prefix="m_")],
     ).drop("__is_tool__"))
 
+    # q10e/q10f — DEPLOY long-window serving: UNBOUNDED cumulative
+    # features for one request per conversation, generic WINDOW-UNION
+    # path vs the OPTIONS(long_windows=) pre-agg path (carry from
+    # broadcast partials + edge-bucket raw scan; state build cost paid
+    # once outside the timed region, like the reference's insert-time
+    # aggregator)
+    from openmldb_spark.sql import SqlEngine as _SE
+
+    lw_sql = ("SELECT conv_id, ts, sum(turn_idx) OVER w AS s, "
+              "count(turn_idx) OVER w AS c, max(turn_idx) OVER w AS mx "
+              "FROM bench_hist "
+              "WINDOW w AS (PARTITION BY conv_id ORDER BY ts "
+              "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    slim = transcripts.select("conv_id", "ts", "turn_idx", "role", "tool")
+    req_lw = slim.withColumn(
+        "__rn__", rnk).filter(F.col("__rn__") == 1).drop("__rn__")
+    hist_lw = slim.join(req_lw.select("conv_id", "ts", "turn_idx"),
+                        on=["conv_id", "ts", "turn_idx"], how="left_anti")
+    e_gen = _SE(spark)
+    e_gen.register("bench_hist", hist_lw)
+    e_gen.sql(f"DEPLOY dgen {lw_sql}")
+    queries["deploy_request_generic"] = _run(e_gen.request("dgen", req_lw))
+
+    e_lw = _SE(spark)
+    e_lw.register("bench_hist", hist_lw.limit(0))
+    e_lw.sql(f'DEPLOY dlw OPTIONS(long_windows="w:1h") {lw_sql}')
+    e_lw.tables["bench_hist"] = hist_lw
+    if hasattr(e_lw, "_table_versions"):
+        e_lw._table_versions["bench_hist"] = 1
+    else:
+        e_lw._table_versions = {"bench_hist": 1}
+    e_lw.request("dlw", req_lw.limit(1)).collect()  # state build (untimed)
+    queries["deploy_request_preagg"] = _run(e_lw.request("dlw", req_lw))
+
     # q11 — SQL-surface as-of LAST JOIN (union_asof routing: 0 Python
     # nodes, 1 Exchange)
     from openmldb_spark.sql import SqlEngine

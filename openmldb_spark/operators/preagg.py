@@ -167,7 +167,8 @@ class PreAggTable:
         else:
             keys = list(self.spec.partition_by)
             ord_ms = _order_ms(df, self.spec.order_by)
-            new = (df.join(F.broadcast(wmk), on=keys, how="left")
+            wside = F.broadcast(wmk) if self._carry_small() else wmk
+            new = (df.join(wside, on=keys, how="left")
                    .filter(F.col("__pa_wm__").isNull() | (ord_ms > F.col("__pa_wm__")))
                    .drop("__pa_wm__"))
         self.append(new)
@@ -388,8 +389,13 @@ def serve_long_window(requests, history, state: PreAggTable,
         cond = cond & (F.col(f"p.{_B}") < F.col("r.__b__"))
         if bounded:
             cond = cond & (F.col(f"p.{_B}") > F.col("r.__b0__"))
+        # partials are metadata-sized relative to history, but at
+        # 10^12-turn scale keys × buckets can still exceed broadcast
+        # limits — broadcast only under the recorded pair count
+        Pside = F.broadcast(P.alias("p")) if state._carry_small() \
+            else P.alias("p")
         carry = (r.alias("r")
-                 .join(F.broadcast(P.alias("p")), cond, "left")
+                 .join(Pside, cond, "left")
                  .groupBy(f"r.{req_id}")
                  .agg(*_merge(aggs)))
         carry = carry.select(F.col(f"r.{req_id}").alias(req_id),

@@ -32,6 +32,8 @@ EXPECTED_QUERIES = {
     "cate_aggs_1k_frame",
     "request_mode",
     "request_mode_inw",
+    "deploy_request_generic",
+    "deploy_request_preagg",
     "sql_asof_join",
 }
 
