@@ -148,6 +148,20 @@ def main() -> None:
         )
     )
 
+    # q2c — bounded ROWS_RANGE on the hot conversation: the
+    # prefix-subtraction plan (cum − before over bucketed partials,
+    # (key,bucket)-parallel, zero replication) vs the native
+    # single-exchange plan that puts the whole hot key on one task
+    spec_b = WindowSpec(["conv_id"], "ts", "rows_range", 4 * 3_600_000,
+                        tiebreak=["turn_idx"])
+    baggs = [Agg("sum", "turn_idx", "s4h"), Agg("count", None, "c4h"),
+             Agg("avg", "turn_idx", "a4h")]
+    queries["bounded_range_subtract"] = _run(
+        window_agg_skewed(transcripts, spec_b, baggs, quantiles=8,
+                          hot_threshold=20_000, native_when_cold=False))
+    queries["bounded_range_native"] = _run(
+        window_agg(transcripts, spec_b, baggs, impl="native"))
+
     # q3 — native rolling windows on events (pure Catalyst path)
     queries["rows_window_native"] = _run(em.q_rows_window(spark, sf_dir))
 

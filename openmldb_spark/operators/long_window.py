@@ -45,7 +45,8 @@ from openmldb_spark.operators.window import Agg, WindowSpec
 
 __all__ = ["long_window_agg", "long_window_eligible", "split_decomposable",
            "rewrite_unbounded_distinct_count", "partial_exprs", "partial_cols",
-           "merge_exprs", "carry_exprs", "running_cols", "combine_cols"]
+           "merge_exprs", "carry_exprs", "running_cols", "combine_cols",
+           "long_window_agg_bounded", "bounded_range_eligible"]
 
 _DECOMPOSABLE = {"sum", "count", "avg", "min", "max",
                  "sum_where", "count_where", "avg_where", "min_where", "max_where"}
@@ -347,4 +348,176 @@ def long_window_agg(
     # extends the running window's partitioning, so AQE can plan a
     # broadcast when small or reuse the (key, bucket) exchange when not
     out = combine_cols(run.join(carry, on=keys + [_B], how="left"), aggs, df.schema)
+    return out.select(*df.columns, *[a.name for a in aggs])
+
+
+# ---------------------------------------------------------------------------
+# bounded ROWS_RANGE frames via prefix subtraction — the skew-free
+# alternative to salted context replication for hot keys
+# ---------------------------------------------------------------------------
+
+_SUBTRACTABLE = {"sum", "count", "avg", "sum_where", "count_where", "avg_where"}
+
+
+def bounded_range_eligible(spec: WindowSpec, aggs: list[Agg],
+                           union=None, df: DataFrame | None = None) -> bool:
+    """True when ``long_window_agg_bounded`` evaluates (spec, aggs)
+    exactly: a plain ROWS_RANGE [Δ PRECEDING, CURRENT ROW] frame and
+    all-subtractable aggregates (sum/count/avg ± _where; min/max are
+    NOT subtractable)."""
+    if union:
+        return False
+    if spec.frame != "rows_range" or spec.preceding is None or spec.maxsize:
+        return False
+    if spec.exclude_current_time or spec.exclude_current_row \
+            or spec.instance_not_in_window or spec.end_preceding \
+            or spec.end_is_offset or spec.open_preceding or spec.open_end:
+        return False
+    for a in aggs:
+        if a.func not in _SUBTRACTABLE or a.split or a.cate \
+                or a.pair or a.cond_pair:
+            return False
+        if df is not None:
+            base = a.func[:-6] if a.func.endswith("_where") else a.func
+            if base in ("sum", "avg"):
+                # float/double sums are EXCLUDED: cum − before suffers
+                # catastrophic cancellation once the running total
+                # dwarfs the frame sum (at 10^12 rows the error becomes
+                # visible); integral and decimal subtraction is exact.
+                # Callers who accept the tradeoff can cast to decimal.
+                if a.col is None or not isinstance(
+                        df.schema[a.col].dataType, _NUMERIC) \
+                        or isinstance(df.schema[a.col].dataType,
+                                      (T.FloatType, T.DoubleType)):
+                    return False
+    return True
+
+
+def long_window_agg_bounded(
+    df: DataFrame,
+    spec: WindowSpec,
+    aggs: list[Agg],
+    bucket_ms: int = 3_600_000,
+) -> DataFrame:
+    """ROWS_RANGE [Δ PRECEDING, CURRENT ROW] window aggregation by
+    prefix subtraction over bucketed partials:
+
+        frame(i) = cum(i) − cumBefore(start_i),   start_i = t_i − Δ
+
+    ``cum(i)`` is the UNBOUNDED running aggregate (bucket carry +
+    within-bucket running — long_window_agg's shape); ``cumBefore`` is
+    the carry at the frame-start bucket β0 plus the running value of
+    the last in-β0 row strictly below start_i, found by an as-of merge
+    that is partitioned by (key, bucket) — bounded partitions, so a
+    10^12-turn hot key never lands on one task and NOTHING is
+    replicated (versus the salted plan's O(quantiles × frame) context
+    copies). Everything is whole-stage-codegen JVM.
+
+    Matches the reference's ROWS_RANGE tie semantics (frames end at
+    the current row's buffer position; rows with ts == start are IN,
+    rows below are out) — the same cum-minus-before identity the
+    native tie classifier uses, evaluated skew-free.
+    """
+    if not bounded_range_eligible(spec, aggs, None, df):
+        raise ValueError("long_window_agg_bounded: spec/aggs not eligible "
+                         "(plain bounded ROWS_RANGE + sum/count/avg only)")
+    keys = list(spec.partition_by)
+    delta = int(spec.preceding)
+    W = int(bucket_ms)
+
+    df = df.filter(F.col(spec.order_by).isNotNull())
+    oms = _order_ms(df, spec.order_by)
+    work = (df.withColumn("__lwms__", oms)
+            .withColumn(_B, (F.col("__lwms__") / F.lit(W)).cast("long")))
+
+    # 1. within-bucket running aggregates + a deterministic row id
+    # (key, bucket, position) — shares ONE sort
+    order_cols = [F.col(spec.order_by)] + [F.col(c) for c in spec.tiebreak]
+    wpos = Window.partitionBy(*keys, _B).orderBy(*order_cols)
+    wrun = wpos.rowsBetween(Window.unboundedPreceding, 0)
+    run = running_cols(work, aggs, wrun).withColumn(
+        "__lwrn__", F.row_number().over(wpos))
+
+    # 2. bucket partials + carry C(β) = combine over buckets < β;
+    # frame-start buckets β0 may hold no data → probe rows give them
+    # a carry anyway (nulls don't contribute to the cum)
+    start = (F.col("__lwms__") - F.lit(delta))
+    run = run.withColumn("__lwstart__", start).withColumn(
+        "__b0__", (F.col("__lwstart__") / F.lit(W)).cast("long"))
+    pcols = partial_cols(aggs)
+    partials = work.groupBy(*keys, _B).agg(*partial_exprs(aggs))
+    probe = (run.select(*keys, F.col("__b0__").alias(_B)).distinct()
+             .join(partials.select(*keys, _B), on=keys + [_B], how="left_anti")
+             .select(*keys, _B, *[F.lit(None).alias(c) for c in pcols]))
+    wcum = (Window.partitionBy(*keys).orderBy(_B)
+            .rowsBetween(Window.unboundedPreceding, -1))
+    carry = (partials.unionByName(probe)
+             .select(*keys, _B, *carry_exprs(aggs, wcum)))
+
+    # 3. cum(i) inputs: C(b_i) joined at the row's own bucket
+    cum = run.join(carry, on=keys + [_B], how="left")
+
+    # 4. cumBefore inputs: C(β0) + R(last in-β0 row with ms < start),
+    # via one as-of window per (key, bucket): anchor probes sort at
+    # (start, is_anchor=1) BEFORE data rows with ms == start
+    rcols = [c.replace("__s", "__rs").replace("__c", "__rc")
+              .replace("__m", "__rm") for c in pcols]
+    data_side = run.select(
+        *keys, _B, F.col("__lwms__").alias("__k__"), F.lit(0).alias("__ia__"),
+        F.struct(*[F.col(c) for c in rcols]).alias("__rst__"),
+        F.lit(None).cast("long").alias("__ab__"),
+        F.lit(None).cast("int").alias("__arn__"))
+    anchor_side = run.select(
+        *keys, F.col("__b0__").alias(_B),
+        F.col("__lwstart__").alias("__k__"), F.lit(1).alias("__ia__"),
+        F.lit(None).cast(data_side.schema["__rst__"].dataType).alias("__rst__"),
+        F.col(_B).alias("__ab__"), F.col("__lwrn__").alias("__arn__"))
+    wasof = (Window.partitionBy(*keys, _B)
+             .orderBy(F.col("__k__"), F.col("__ia__").desc())
+             .rowsBetween(Window.unboundedPreceding, -1))
+    merged = data_side.unionByName(anchor_side).withColumn(
+        "__rb__", F.last("__rst__", ignorenulls=True).over(wasof))
+    rb = (merged.filter(F.col("__ia__") == 1)
+          .select(*keys, F.col("__ab__").alias(_B),
+                  F.col("__arn__").alias("__lwrn__"),
+                  F.col(_B).alias("__b0j__"), "__rb__"))
+    carry0 = carry.select(
+        *keys, F.col(_B).alias("__b0j__"),
+        *[F.col(c).alias(f"__z{c}__")
+          for c in carry_col_names(aggs)])
+    rb = rb.join(carry0, on=keys + ["__b0j__"], how="left")
+
+    out = cum.join(rb, on=keys + [_B, "__lwrn__"], how="left")
+
+    # 5. subtract: frame = cum − before, with reference null/typing
+    int_wrap = (T.ByteType, T.ShortType, T.IntegerType)
+    from openmldb_spark.operators.window import _result_type
+
+    for i, a in enumerate(aggs):
+        base = a.func[:-6] if a.func.endswith("_where") else a.func
+        rt = _result_type(a, df.schema[a.col].dataType if a.col else T.LongType())
+        z = lambda c: F.coalesce(c, F.lit(0))  # noqa: E731
+        cum_c = z(F.col(f"__pc{i}__")) + z(F.col(f"__rc{i}__"))
+        bef_c = z(F.col(f"__z__pc{i}____")) + z(F.col("__rb__").getField(f"__rc{i}__"))
+        fc = cum_c - bef_c
+        if base == "count":
+            e = fc.cast("long")
+        else:
+            cum_s = z(F.col(f"__ps{i}__")) + z(F.col(f"__rs{i}__"))
+            bef_s = z(F.col(f"__z__ps{i}____")) + z(F.col("__rb__").getField(f"__rs{i}__"))
+            s = cum_s - bef_s
+            if base == "avg":
+                e = F.when(fc > 0, s.cast("double") / fc)
+            else:  # sum: NULL when the frame holds no non-null source
+                e = F.when(fc > 0, s)
+                if a.col and isinstance(df.schema[a.col].dataType, int_wrap):
+                    dt = df.schema[a.col].dataType
+                    bits = {T.ByteType: 8, T.ShortType: 16,
+                            T.IntegerType: 32}[type(dt)]
+                    e = F.when(fc > 0, (F.pmod(s + F.lit(2 ** (bits - 1)),
+                                               F.lit(2 ** bits))
+                                        - 2 ** (bits - 1)).cast(dt))
+                elif a.col:
+                    e = e.cast(rt)
+        out = out.withColumn(a.name, e)
     return out.select(*df.columns, *[a.name for a in aggs])

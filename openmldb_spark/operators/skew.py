@@ -120,6 +120,24 @@ def window_agg_skewed(
             out = long_window_agg(df2, spec, aggs2)
             return out.select(*df.columns, *[a.name for a in aggs])
 
+    if spec.preceding is not None and not union:
+        from openmldb_spark.operators.long_window import (
+            bounded_range_eligible, long_window_agg_bounded)
+
+        if bounded_range_eligible(spec, aggs, union, df):
+            # bounded ROWS_RANGE + subtractable aggregates: prefix
+            # subtraction over bucketed partials — zero replication,
+            # (key, bucket)-parallel, zero Python. Strictly better
+            # than salting for hot keys (no O(quantiles × frame)
+            # context copies), so no probe needed.
+            # bucket width: the frame extent, capped at 1h — wide
+            # enough that partials stay metadata-sized, narrow enough
+            # that no (key, bucket) partition degenerates to a whole
+            # hot key
+            return long_window_agg_bounded(
+                df, spec, aggs,
+                bucket_ms=min(max(int(spec.preceding), 1), 3_600_000))
+
     counts = key_stats if key_stats is not None else None
     if native_when_cold and not union:
         from openmldb_spark.operators.window import (

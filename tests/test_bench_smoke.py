@@ -20,6 +20,8 @@ EXPECTED_QUERIES = {
     "backfill_flagship",
     "skewed_unbounded_window",
     "long_window_preagg",
+    "bounded_range_subtract",
+    "bounded_range_native",
     "rows_window_native",
     "rows_range_kernel",
     "rows_range_native",

@@ -119,3 +119,78 @@ def test_long_window_plan_is_native(spark):
     out = long_window_agg(df, spec, [Agg("sum", "v", "s")])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "MapInPandas" not in plan
+
+
+BOUNDED_AGGS = [
+    Agg("sum", "v", "s"),
+    Agg("count", "v", "c"),
+    Agg("count", None, "call"),
+    Agg("avg", "v", "a"),
+    Agg("sum_where", "v", "sw", cond="cond"),
+    Agg("count_where", "v", "cw", cond="cond"),
+]
+
+
+def _assert_frame_equal(exact, fast, cols):
+    assert list(exact.columns) == list(fast.columns)
+    for col in cols:
+        for i in range(len(exact)):
+            e, g = exact[col].iloc[i], fast[col].iloc[i]
+            en = e is None or (isinstance(e, float) and math.isnan(e)) or e != e
+            gn = g is None or (isinstance(g, float) and math.isnan(g)) or g != g
+            assert en == gn, f"{col} row {i}: {e!r} vs {g!r}"
+            if not en:
+                assert float(e) == pytest.approx(float(g), abs=1e-9), f"{col} row {i}"
+
+
+@pytest.mark.parametrize("delta,bucket_ms", [
+    (5_000_000, 1_000_000),    # frame spans several buckets
+    (5_000_000, 5_000_000),    # frame == bucket
+    (5_000_000, 20_000_000),   # frame inside one bucket
+    (800_000, 3_000_000),      # short frame, ties at bucket edges
+    (0, 1_000_000),            # degenerate [t, t] frame (ties only)
+])
+def test_bounded_range_matches_kernel(spark, delta, bucket_ms):
+    """Prefix-subtraction bounded ROWS_RANGE plan ≡ the kernel across
+    duplicate-ts ties, NULL values, *_where masks, and bucket widths
+    narrower/equal/wider than the frame."""
+    from openmldb_spark.operators.long_window import long_window_agg_bounded
+
+    df = _random_df(spark)
+    spec = WindowSpec(["k"], "ts", "rows_range", delta, tiebreak=["id"])
+    exact = window_agg(df, spec, BOUNDED_AGGS, impl="kernel").orderBy("id").toPandas()
+    fast = long_window_agg_bounded(df, spec, BOUNDED_AGGS,
+                                   bucket_ms=bucket_ms).orderBy("id").toPandas()
+    _assert_frame_equal(exact, fast, ("s", "c", "call", "a", "sw", "cw"))
+
+
+def test_bounded_range_int_wraparound(spark):
+    """int32 sums wrap at the declared width through the subtraction."""
+    from openmldb_spark.operators.long_window import long_window_agg_bounded
+
+    rows = [(i, "k", i * 1000, 2_000_000_000) for i in range(8)]
+    df = spark.createDataFrame(rows, "id int, k string, ts long, v int")
+    spec = WindowSpec(["k"], "ts", "rows_range", 3000, tiebreak=["id"])
+    exact = window_agg(df, spec, [Agg("sum", "v", "s")], impl="kernel") \
+        .orderBy("id").toPandas()
+    fast = long_window_agg_bounded(df, spec, [Agg("sum", "v", "s")],
+                                   bucket_ms=2000).orderBy("id").toPandas()
+    assert list(exact["s"]) == list(fast["s"])
+
+
+def test_bounded_range_plan_native_and_routed(spark):
+    """window_agg_skewed routes eligible bounded ROWS_RANGE aggregate
+    lists to the subtraction plan — zero Python, no salted expansion."""
+    from openmldb_spark.operators.skew import window_agg_skewed
+
+    df = _random_df(spark, n=400)
+    spec = WindowSpec(["k"], "ts", "rows_range", 5_000_000, tiebreak=["id"])
+    out = window_agg_skewed(df, spec,
+                            [Agg("sum", "v", "s"), Agg("count", None, "c")],
+                            quantiles=4, hot_threshold=10,  # every key "hot"
+                            native_when_cold=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InPandas" not in plan
+    exact = window_agg(df, spec, [Agg("sum", "v", "s"), Agg("count", None, "c")],
+                       impl="kernel").orderBy("id").toPandas()
+    _assert_frame_equal(exact, out.orderBy("id").toPandas(), ("s", "c"))
