@@ -233,6 +233,27 @@ def q_skewed_window(spark, sf_dir):
     return out.select("event_id", "user_id", "cnt_sk", _r6("sum_sk").alias("sum_sk"))
 
 
+def q_bounded_range_window(spark, sf_dir):
+    """Bounded ROWS_RANGE via the skew-free prefix-subtraction plan
+    (long_window.long_window_agg_bounded): cum − before-frame-start
+    over bucketed partials, (key,bucket)-parallel, zero replication —
+    the hot-key plan for bounded ms windows at 10^12 turns."""
+    from openmldb_spark.operators.skew import window_agg_skewed
+    from openmldb_spark.operators.window import Agg, WindowSpec
+
+    ev = _t(spark, sf_dir, "events")
+    spec = WindowSpec(["user_id"], "ts", "rows_range", 1_800_000,
+                      tiebreak=["event_id"])
+    out = window_agg_skewed(ev, spec, [
+        Agg("sum", "event_id", "sum_id_30m"),
+        Agg("count", None, "cnt_30m"),
+        Agg("avg", "event_id", "avg_id_30m"),
+    ], quantiles=4, hot_threshold=10, native_when_cold=False,
+       bounded_impl="subtract")
+    return out.select("event_id", "user_id", "sum_id_30m", "cnt_30m",
+                      _r6("avg_id_30m").alias("avg_id_30m"))
+
+
 def q_window_union(spark, sf_dir):
     from openmldb_spark.operators.window import Agg, WindowSpec, window_agg
 
@@ -688,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drawdown_window": q_drawdown_window,
         "first_value_window": q_first_value_window,
         "skewed_window": q_skewed_window,
+        "bounded_range_window": q_bounded_range_window,
         "window_union": q_window_union,
         "last_join_asof": q_last_join_asof,
         "last_join_ordered": q_last_join_ordered,
@@ -874,6 +896,16 @@ def oracle_sql() -> dict[str, str]:
                  AND v.ts >= a.ts - INTERVAL 30 MINUTE AND v.rn <= a.rn) AS cnt_sk,
               ROUND((SELECT SUM(v.value) FROM r v WHERE v.user_id=a.user_id
                  AND v.ts >= a.ts - INTERVAL 30 MINUTE AND v.rn <= a.rn), 6) AS sum_sk
+            FROM r a
+        """,
+        "bounded_range_window": _RN_CTE + """
+            SELECT a.event_id, a.user_id,
+              CAST((SELECT SUM(v.event_id) FROM r v WHERE v.user_id=a.user_id
+                 AND v.ts >= a.ts - INTERVAL 30 MINUTE AND v.rn <= a.rn) AS BIGINT) AS sum_id_30m,
+              (SELECT COUNT(*) FROM r v WHERE v.user_id=a.user_id
+                 AND v.ts >= a.ts - INTERVAL 30 MINUTE AND v.rn <= a.rn) AS cnt_30m,
+              ROUND((SELECT AVG(v.event_id) FROM r v WHERE v.user_id=a.user_id
+                 AND v.ts >= a.ts - INTERVAL 30 MINUTE AND v.rn <= a.rn), 6) AS avg_id_30m
             FROM r a
         """,
         "window_union": """

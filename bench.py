@@ -158,7 +158,8 @@ def main() -> None:
              Agg("avg", "turn_idx", "a4h")]
     queries["bounded_range_subtract"] = _run(
         window_agg_skewed(transcripts, spec_b, baggs, quantiles=8,
-                          hot_threshold=20_000, native_when_cold=False))
+                          hot_threshold=20_000, native_when_cold=False,
+                          bounded_impl="subtract"))
     queries["bounded_range_native"] = _run(
         window_agg(transcripts, spec_b, baggs, impl="native"))
 

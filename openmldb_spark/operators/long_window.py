@@ -454,40 +454,52 @@ def long_window_agg_bounded(
     carry = (partials.unionByName(probe)
              .select(*keys, _B, *carry_exprs(aggs, wcum)))
 
-    # 3. cum(i) inputs: C(b_i) joined at the row's own bucket
-    cum = run.join(carry, on=keys + [_B], how="left")
-
-    # 4. cumBefore inputs: C(β0) + R(last in-β0 row with ms < start),
-    # via one as-of window per (key, bucket): anchor probes sort at
-    # (start, is_anchor=1) BEFORE data rows with ms == start
+    # 3+4. cumBefore inputs: C(β0) + R(last in-β0 row with ms < start),
+    # via ONE as-of window per (key, bucket): each row rides as an
+    # ANCHOR probe at bucket β0 (carrying its full payload + running
+    # values), while a slim (key, bucket, ms, runnings) copy of every
+    # row is the DATA side. Anchor probes sort at (start, is_anchor=1)
+    # BEFORE data rows with ms == start, so `last(ignorenulls)` over
+    # the preceding rows is exactly R at the last row strictly below
+    # the frame start. No full-size join-back: the only joins left are
+    # against the metadata-sized carry table (broadcast-gated).
     rcols = [c.replace("__s", "__rs").replace("__c", "__rc")
               .replace("__m", "__rm") for c in pcols]
     data_side = run.select(
-        *keys, _B, F.col("__lwms__").alias("__k__"), F.lit(0).alias("__ia__"),
-        F.struct(*[F.col(c) for c in rcols]).alias("__rst__"),
-        F.lit(None).cast("long").alias("__ab__"),
-        F.lit(None).cast("int").alias("__arn__"))
-    anchor_side = run.select(
-        *keys, F.col("__b0__").alias(_B),
-        F.col("__lwstart__").alias("__k__"), F.lit(1).alias("__ia__"),
-        F.lit(None).cast(data_side.schema["__rst__"].dataType).alias("__rst__"),
-        F.col(_B).alias("__ab__"), F.col("__lwrn__").alias("__arn__"))
-    wasof = (Window.partitionBy(*keys, _B)
+        *keys, F.col(_B).alias("__at__"),
+        F.col("__lwms__").alias("__k__"), F.lit(0).alias("__ia__"),
+        F.struct(*[F.col(c) for c in rcols]).alias("__rst__"))
+    anchor_side = (run.withColumn("__at__", F.col("__b0__"))
+                   .withColumn("__k__", F.col("__lwstart__"))
+                   .withColumn("__ia__", F.lit(1))
+                   .withColumn("__rst__", F.lit(None).cast(
+                       data_side.schema["__rst__"].dataType)))
+    wasof = (Window.partitionBy(*keys, "__at__")
              .orderBy(F.col("__k__"), F.col("__ia__").desc())
              .rowsBetween(Window.unboundedPreceding, -1))
-    merged = data_side.unionByName(anchor_side).withColumn(
-        "__rb__", F.last("__rst__", ignorenulls=True).over(wasof))
-    rb = (merged.filter(F.col("__ia__") == 1)
-          .select(*keys, F.col("__ab__").alias(_B),
-                  F.col("__arn__").alias("__lwrn__"),
-                  F.col(_B).alias("__b0j__"), "__rb__"))
+    merged = (data_side.unionByName(anchor_side, allowMissingColumns=True)
+              .withColumn("__rb__", F.last("__rst__", ignorenulls=True).over(wasof))
+              .filter(F.col("__ia__") == 1))
+
+    # carry joins: C(b_i) at the row's own bucket, C(β0) at the
+    # frame-start bucket — both against the keys × buckets carry table
+    pair_cap = 2_000_000
+    carry_n = None
+    small = None
+
+    def _gate(c):
+        nonlocal carry_n, small
+        if small is None:
+            carry_n = c.limit(pair_cap + 1).count()
+            small = carry_n <= pair_cap
+        return F.broadcast(c) if small else c
+
+    out = merged.join(_gate(carry), on=keys + [_B], how="left")
     carry0 = carry.select(
-        *keys, F.col(_B).alias("__b0j__"),
+        *keys, F.col(_B).alias("__b0__"),
         *[F.col(c).alias(f"__z{c}__")
           for c in carry_col_names(aggs)])
-    rb = rb.join(carry0, on=keys + ["__b0j__"], how="left")
-
-    out = cum.join(rb, on=keys + [_B, "__lwrn__"], how="left")
+    out = out.join(_gate(carry0), on=keys + ["__b0__"], how="left")
 
     # 5. subtract: frame = cum − before, with reference null/typing
     int_wrap = (T.ByteType, T.ShortType, T.IntegerType)

@@ -86,6 +86,7 @@ def window_agg_skewed(
     row_key: list[str] | None = None,
     native_when_cold: bool = True,
     key_stats: DataFrame | None = None,
+    bounded_impl: str = "salted",
 ) -> DataFrame:
     """``window_agg(impl='kernel')`` with time-quantile salting of hot
     keys; output identical, physical partitioning finer for hot keys.
@@ -120,20 +121,23 @@ def window_agg_skewed(
             out = long_window_agg(df2, spec, aggs2)
             return out.select(*df.columns, *[a.name for a in aggs])
 
-    if spec.preceding is not None and not union:
+    if bounded_impl == "subtract" and spec.preceding is not None and not union:
         from openmldb_spark.operators.long_window import (
             bounded_range_eligible, long_window_agg_bounded)
 
         if bounded_range_eligible(spec, aggs, union, df):
-            # bounded ROWS_RANGE + subtractable aggregates: prefix
-            # subtraction over bucketed partials — zero replication,
-            # (key, bucket)-parallel, zero Python. Strictly better
-            # than salting for hot keys (no O(quantiles × frame)
-            # context copies), so no probe needed.
-            # bucket width: the frame extent, capped at 1h — wide
-            # enough that partials stay metadata-sized, narrow enough
-            # that no (key, bucket) partition degenerates to a whole
-            # hot key
+            # OPT-IN bounded ROWS_RANGE prefix-subtraction plan:
+            # (key, bucket)-parallel, zero replication, zero Python —
+            # the plan for the regime where ONE key exceeds what a
+            # single task can sort (10^12-turn conversations), where
+            # neither the native single-exchange window (one task owns
+            # the key) nor salting (O(quantiles × frame) context
+            # copies through the Python pipe) holds up. NOT the
+            # default: measured on this host class its extra full-data
+            # sorts lose to the single-sort native plan and to the
+            # salted kernel up through ~10^7-row keys (BENCH.md r5) —
+            # it wins only past single-task capacity.
+            # bucket width: the frame extent, capped at 1h.
             return long_window_agg_bounded(
                 df, spec, aggs,
                 bucket_ms=min(max(int(spec.preceding), 1), 3_600_000))

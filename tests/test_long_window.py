@@ -188,7 +188,7 @@ def test_bounded_range_plan_native_and_routed(spark):
     out = window_agg_skewed(df, spec,
                             [Agg("sum", "v", "s"), Agg("count", None, "c")],
                             quantiles=4, hot_threshold=10,  # every key "hot"
-                            native_when_cold=False)
+                            native_when_cold=False, bounded_impl="subtract")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "InPandas" not in plan
     exact = window_agg(df, spec, [Agg("sum", "v", "s"), Agg("count", None, "c")],
