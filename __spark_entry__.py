@@ -439,6 +439,46 @@ def q_lsh_topk(spark, sf_dir):
                       F.col("rank").cast("long").alias("rank"))
 
 
+def q_cosine_dedup(spark, sf_dir):
+    """Embedding near-dup pairs: random-hyperplane sign-bucket LSH +
+    exact cosine verify (dedup.embedding_cosine_dedup — ONE bucket per
+    vector, oversized buckets sub-bucketed by extra sign bits, never
+    silently dropped). Oracle recomputes the same seeded planes and
+    the same bucket join in DuckDB."""
+    from openmldb_spark.operators.dedup import embedding_cosine_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_cosine_dedup(emb, threshold=0.30, n_planes=8,
+                                 seed=42, dim=64)
+    return out.select("id_a", "id_b", _r6("cosine").alias("cosine"))
+
+
+def _cosine_dedup_oracle() -> str:
+    import numpy as np
+
+    planes = np.random.default_rng(42).standard_normal((16, 64))
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_inner_product(v, "
+        f"[{', '.join(repr(float(x)) for x in planes[i])}]) > 0 "
+        f"THEN {1 << i}::BIGINT ELSE 0 END)"
+        for i in range(8)
+    )
+    return f"""
+        WITH c AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        cs AS (
+          SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS n,
+                 {sig_terms} AS b
+          FROM c
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_inner_product(a.v, b.v) / (a.n * b.n), 6) AS cosine
+        FROM cs a JOIN cs b ON a.b = b.b AND a.vec_id < b.vec_id
+        WHERE list_inner_product(a.v, b.v) / (a.n * b.n) >= 0.30
+    """
+
+
 def _backfill_scale(sf_dir: str) -> tuple[int, int]:
     return {"sf0.001": (20, 40), "sf0.01": (100, 80)}.get(
         sf_dir.rstrip("/").rsplit("/", 1)[-1], (50, 60)
@@ -725,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "lsh_topk": q_lsh_topk,
+        "cosine_dedup": q_cosine_dedup,
         "backfill_transcripts": q_backfill_transcripts,
         "request_transcripts": q_request_transcripts,
         "long_window_unbounded": q_long_window_unbounded,
@@ -1128,6 +1169,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _MINHASH_ORACLE,
         "simhash_pairs": _SIMHASH_ORACLE,
         "lsh_topk": _lsh_oracle(),
+        "cosine_dedup": _cosine_dedup_oracle(),
     }
 
 
