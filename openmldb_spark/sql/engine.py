@@ -1477,7 +1477,23 @@ class SqlEngine:
                 name, pandas_udf(fn, ret_type, PandasUDFType.GROUPED_AGG))
         else:
             self.spark.udf.register(name, fn, ret_type)
+        if not hasattr(self, "_created_fns"):
+            self._created_fns = {}
+        self._created_fns[name.lower()] = {
+            "is_aggregate": bool(aggregate), "return_type": str(ret_type)}
         return self.spark.range(0).select(F.lit(name).alias("function"))
+
+    def _ddl_drop_function(self, name: str, if_exists: bool) -> DataFrame:
+        """``DROP FUNCTION [IF EXISTS] name`` — removes a SQL-created
+        UDF (reference ddl/DROP_FUNCTION.md)."""
+        fns = getattr(self, "_created_fns", {})
+        if name.lower() not in fns:
+            if if_exists:
+                return self.spark.range(0)
+            raise ValueError(f"function {name!r} does not exist")
+        fns.pop(name.lower())
+        self.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
+        return self.spark.range(0)
 
     # --- DEPLOY / request mode (reference deployment_manage/DEPLOY_
     # STATEMENT.md; online request-mode RequestUnion, survey §3.2) ----
@@ -2473,6 +2489,24 @@ class SqlEngine:
                         r"(?:FROM\s+TASKMANAGER\s*)?$", q)
         if mjob:
             return self._job_statement(mjob.group(1).upper(), mjob.group(2))
+        mlog = re.match(r"(?is)^SHOW\s+JOBLOG\s+(\d+)\s*$", q)
+        if mlog:
+            jobs = {j["job_id"]: j for j in getattr(self, "_jobs", [])}
+            j = jobs.get(int(mlog.group(1)))
+            if j is None:
+                raise ValueError(f"job {mlog.group(1)} not found")
+            log = (f"job {j['job_id']} [{j['job_type']}] state={j['state']} "
+                   f"parameter={j['parameter']}\n"
+                   + (f"error: {j['error']}" if j["error"] else "stdout: ok"))
+            return self.spark.createDataFrame([(log,)], "log string")
+        mdf = re.match(r"(?is)^DROP\s+FUNCTION\s+(IF\s+EXISTS\s+)?(\w+)\s*$", q)
+        if mdf:
+            return self._ddl_drop_function(mdf.group(2), bool(mdf.group(1)))
+        if re.match(r"(?is)^SHOW\s+FUNCTIONS\s*$", q):
+            fns = getattr(self, "_created_fns", {})
+            return self.spark.createDataFrame(
+                [(n, v["return_type"], v["is_aggregate"]) for n, v in sorted(fns.items())],
+                "name string, return_type string, is_aggregate boolean")
         # a fully parenthesized statement is its inner statement
         while q.startswith("(") and q.endswith(")"):
             depth = 0

@@ -62,3 +62,33 @@ def test_create_function_so_rejected(eng):
 def test_create_function_missing_impl(eng):
     with pytest.raises(ValueError, match="no implementation"):
         eng.sql("CREATE FUNCTION nosuch(x INT) RETURNS INT")
+
+
+def test_show_and_drop_function(spark):
+    """SHOW FUNCTIONS / DROP FUNCTION [IF EXISTS] (ddl/DROP_FUNCTION.md)
+    + SHOW JOBLOG (task_manage/SHOW_JOBLOG.md)."""
+    import pytest
+
+    from openmldb_spark.sql import SqlEngine
+
+    eng = SqlEngine(spark)
+    eng.register_py_udf("trip", lambda x: None if x is None else x * 3)
+    eng.sql("create function trip(x int) returns int")
+    fns = eng.sql("show functions").collect()
+    assert [(r.name, r.is_aggregate) for r in fns] == [("trip", False)]
+    eng.sql("drop function trip")
+    assert eng.sql("show functions").count() == 0
+    with pytest.raises(ValueError, match="does not exist"):
+        eng.sql("drop function trip")
+    eng.sql("drop function if exists trip")  # no-op
+
+    eng.sql("create table jl (a int)")
+    eng.sql("insert into jl values (1)")
+    import tempfile
+
+    out = tempfile.mkdtemp() + "/x.parquet"
+    eng.sql(f"select * from jl into outfile '{out}' options(format='parquet')")
+    log = eng.sql("show joblog 1").collect()[0].log
+    assert "ExportOfflineData" in log and "state=finished" in log
+    with pytest.raises(ValueError, match="not found"):
+        eng.sql("show joblog 9")
