@@ -1542,10 +1542,17 @@ class SqlEngine:
     def _parse_long_windows(self, opts: str, sel: str, main: str) -> dict[str, int]:
         """``OPTIONS(long_windows="w1:1d[,w2:4h]")`` → {window: bucket
         ms}. Reference surface: DEPLOY_STATEMENT.md:110-160 — pre-agg
-        buckets per named window; interval bucket sizes (default 1d);
-        the main table must be empty at DEPLOY time (partials are then
-        maintained incrementally as data arrives, aggregator.cc)."""
-        mlw = re.search(r"(?is)\blong_windows\s*=\s*([\"'])(.*?)\1", opts)
+        buckets per named window. The option is an OPTIMIZATION hint
+        (results must be identical with or without it — the
+        reference's own corpus, cases/function/long_window/, deploys
+        onto pre-loaded tables and uses row-count bucket sizes), so
+        parsing is lenient: row-count buckets (int literal — our
+        pre-agg buckets are time-based) and names without a matching
+        WINDOW definition simply don't take the pre-agg serving path.
+        Non-empty tables at DEPLOY are fine here: the serving state
+        builds lazily from stored history (the reference's insert-time
+        maintenance can't backfill, hence ITS empty-table limitation)."""
+        mlw = re.search(r"(?is)\blong_windows?\s*=\s*([\"'])(.*?)\1", opts)
         if not mlw:
             return {}
         lw: dict[str, int] = {}
@@ -1558,17 +1565,10 @@ class SqlEngine:
             bs = bs.strip() or "1d"
             mi = re.fullmatch(r"(\d+)([smhd])", bs)
             if not mi:
-                raise ValueError(
-                    f"long_windows bucket size {bs!r}: only interval "
-                    f"literals (Ns/Nm/Nh/Nd) are supported")
+                continue  # row-count bucket → generic evaluation path
+            if not re.search(rf"(?is)\b{re.escape(wn.strip())}\s+AS\s*\(", sel):
+                continue
             lw[wn.strip().lower()] = int(mi.group(1)) * mult[mi.group(2)]
-        for wn in lw:
-            if not re.search(rf"(?is)\b{re.escape(wn)}\s+AS\s*\(", sel):
-                raise ValueError(f"long_windows names unknown window {wn!r}")
-        if lw and not self._table(main).isEmpty():
-            raise ValueError(
-                "long_windows deployment requires an empty main table at "
-                "DEPLOY time (DEPLOY_STATEMENT.md limitation)")
         return lw
 
     def _ddl_create_index(self, tbl: str, cols_txt: str,

@@ -96,3 +96,53 @@ def test_stream_rolling_counts_runs(spark, transcripts, stream_dir):
     got = spark.sql("select * from roll_out").toPandas()
     assert len(got) > 0
     assert {"conv_id", "window_start", "window_end", "n_events", "sum_turn_idx"} <= set(got.columns)
+
+
+def test_preagg_sink_matches_batch_state(spark, tmp_path):
+    """Streaming insert-time pre-agg maintenance (streaming/
+    preagg_sink.py): two ordered micro-batches through foreachBatch
+    leave the SAME merged (key, bucket) partials as one batch build —
+    and a replayed batch is a no-op (idempotent under at-least-once)."""
+    import pandas as pd
+
+    from openmldb_spark.operators.preagg import PreAggTable
+    from openmldb_spark.operators.window import Agg, WindowSpec
+    from openmldb_spark.streaming.preagg_sink import preagg_sink
+
+    spec = WindowSpec(["k"], "ts", "rows", None, tiebreak=["rid"])
+    aggs = [Agg("sum", "v", "sv"), Agg("count", "v", "cv")]
+    rows = [("a" if i % 2 else "b", i * 600_000, i, float(i)) for i in range(40)]
+    pdf = pd.DataFrame(rows, columns=["k", "ts", "rid", "v"])
+    full = spark.createDataFrame(pdf.astype({"ts": "int64", "rid": "int64"}))
+
+    src_dir = str(tmp_path / "src")
+    full.filter("ts < 12000000").coalesce(1).write.parquet(src_dir)
+
+    stream_state = PreAggTable.create(spark, str(tmp_path / "s1"), spec, aggs,
+                                      bucket_ms=3_600_000)
+    src = spark.readStream.schema(full.schema).parquet(src_dir)
+    q = preagg_sink(src, stream_state,
+                    checkpoint_dir=str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        # second ordered chunk arrives
+        full.filter("ts >= 12000000").coalesce(1).write.mode("append").parquet(src_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch_state = PreAggTable.create(spark, str(tmp_path / "s2"), spec, aggs,
+                                     bucket_ms=3_600_000)
+    batch_state.append(full)
+
+    def canon(t):
+        return sorted(tuple(r) for r in t.partials()
+                      .select("k", "__lw_bucket__", "__s0__", "__c0__", "__c1__")
+                      .collect())
+
+    assert canon(stream_state) == canon(batch_state)
+
+    # replaying an already-seen chunk is a no-op (tail mode drops rows
+    # at/below each key's watermark)
+    stream_state.append_tail(full.filter("ts < 12000000"))
+    assert canon(stream_state) == canon(batch_state)
