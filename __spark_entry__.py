@@ -439,6 +439,20 @@ def q_lsh_topk(spark, sf_dir):
                       F.col("rank").cast("long").alias("rank"))
 
 
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard pairs (dedup.ngram_jaccard_pairs):
+    shingle explode + shared-shingle self-join — the verification
+    primitive behind minhash_pairs (quadratic only WITHIN shared-
+    shingle buckets; minhash is the discovery path at scale). Same
+    DuckDB oracle as minhash_pairs: both must emit the exact τ≥0.5
+    pair set."""
+    from openmldb_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(docs, threshold=0.5)
+    return out.select("id_a", "id_b", _r6("jaccard").alias("jaccard"))
+
+
 def q_cosine_dedup(spark, sf_dir):
     """Embedding near-dup pairs: random-hyperplane sign-bucket LSH +
     exact cosine verify (dedup.embedding_cosine_dedup — ONE bucket per
@@ -766,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "lsh_topk": q_lsh_topk,
         "cosine_dedup": q_cosine_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
         "backfill_transcripts": q_backfill_transcripts,
         "request_transcripts": q_request_transcripts,
         "long_window_unbounded": q_long_window_unbounded,
@@ -1167,6 +1182,7 @@ def oracle_sql() -> dict[str, str]:
         "backfill_transcripts": _backfill_oracle(),
         "request_transcripts": _request_oracle(),
         "minhash_pairs": _MINHASH_ORACLE,
+        "ngram_jaccard": _MINHASH_ORACLE,
         "simhash_pairs": _SIMHASH_ORACLE,
         "lsh_topk": _lsh_oracle(),
         "cosine_dedup": _cosine_dedup_oracle(),
