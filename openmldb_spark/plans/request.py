@@ -71,6 +71,54 @@ def requests_isolated(requests, keys) -> bool:
     )
 
 
+def prune_rows_history(requests, history, spec, aggs):
+    """Serving-path history pruning for bounded ROWS frames: a history
+    row can enter SOME request's frame only if it is among the last
+    ``K`` history rows at or below that request in buffer order, where
+    ``K = max(frame preceding, largest positional offset)``. One
+    native window pass over requests ∪ history computes, per history
+    row, its rank among history rows since the nearest request above;
+    rows ranked past ``K`` (or with no request above) can never be
+    read and are dropped BEFORE the expensive per-request evaluation —
+    at 10^12 stored turns the kernel sees O(requests × K) rows, not
+    history. Returns ``history`` unchanged for frames it cannot bound
+    (ROWS_RANGE prunes by time elsewhere; unbounded frames read
+    everything)."""
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as F
+
+    if spec.frame != "rows" or spec.preceding is None or spec.preceding < 0:
+        return history
+    pos = [a.n for a in aggs if a.func in ("lag", "at")]
+    K = max(int(spec.preceding), max(pos, default=0))
+    keys = list(spec.partition_by)
+    ob = spec.order_by
+
+    hist = history.filter(F.col(ob).isNotNull())
+    r = (requests.select(*keys, ob, *[c for c in spec.tiebreak])
+         .withColumn("__rq__", F.lit(1)))
+    h = hist.withColumn("__rq__", F.lit(0))
+    merged = h.unionByName(r, allowMissingColumns=True)
+    # buffer order DESC; at equal ORDER KEYS the request (primary)
+    # sorts first: union/history rows precede primary rows in buffer
+    # order regardless of tiebreak (the WINDOW-UNION (-union) tie
+    # rule), so every equal-ts history row is below the request and
+    # must count toward its keep-set
+    order_desc = ([F.col(ob).desc(), F.col("__rq__").desc()]
+                  + [F.col(c).desc() for c in spec.tiebreak])
+    w_grp = (_W.partitionBy(*keys).orderBy(*order_desc)
+             .rowsBetween(_W.unboundedPreceding, 0))
+    merged = merged.withColumn("__ng__", F.sum("__rq__").over(w_grp))
+    w_rank = (_W.partitionBy(*keys, "__ng__").orderBy(*order_desc)
+              .rowsBetween(_W.unboundedPreceding, 0))
+    merged = merged.withColumn("__hr__", F.sum(1 - F.col("__rq__")).over(w_rank))
+    kept = (merged.filter((F.col("__rq__") == 0) & (F.col("__ng__") >= 1)
+                          & (F.col("__hr__") <= K))
+            .drop("__rq__", "__ng__", "__hr__"))
+    # restore history's exact column set (requests may carry extras)
+    return kept.select(*hist.columns)
+
+
 def request_features(
     requests,
     history,
@@ -78,6 +126,7 @@ def request_features(
     windows: list[FeatureWindow],
     asof: list[AsOfSource] | None = None,
     independent: bool | str = "auto",
+    prune: bool = True,
 ):
     """Feature vector at every request row.
 
@@ -101,7 +150,13 @@ def request_features(
                 iso_cache[keys] = requests_isolated(requests, keys)
             inw = not iso_cache[keys]
         spec = replace(fw.spec, instance_not_in_window=True) if inw else fw.spec
-        union = [history] + list(fw.union or [])
+        # prune only ahead of the kernel isolation route: the native
+        # zero-Python WINDOW-UNION plan gains nothing from a smaller
+        # history (no Python pipe) and the pruning pass costs a sort —
+        # measured 0.78→1.34 s native vs 4.68→1.64 s kernel (BENCH r5)
+        hist_w = prune_rows_history(requests, history, fw.spec, fw.aggs) \
+            if (prune and inw) else history
+        union = [hist_w] + list(fw.union or [])
         if fw.skew:
             from openmldb_spark.operators.skew import window_agg_skewed
 

@@ -141,3 +141,45 @@ def test_request_subquery_windows_isolated_no_implicit_history(spark):
     # each request's frame = itself only: no stored history through
     # the subquery, and NEVER the other request's value
     assert got == {"r1": 10, "r2": 20}
+
+
+def test_history_pruning_is_invisible(spark, transcripts):
+    """Bounded-ROWS serving prunes history to the last K rows below
+    each request (plans/request.py:prune_rows_history) — results must
+    be IDENTICAL to unpruned serving, across multi-request keys (INW
+    kernel route), lag offsets larger than the frame, and *_where /
+    distinct_count aggregates; and the pruned history must actually be
+    small."""
+    from openmldb_spark.plans.request import prune_rows_history
+
+    t = transcripts.withColumn("__is_tool__", F.col("role") == "tool")
+    rnk = F.row_number().over(
+        Window.partitionBy("conv_id").orderBy(F.desc("ts"), F.desc("turn_idx")))
+    tagged = t.withColumn("__rn__", rnk)
+    reqs = tagged.filter(F.col("__rn__") <= 3).drop("__rn__")
+    hist = tagged.filter(F.col("__rn__") > 3).drop("__rn__")
+
+    fw = FeatureWindow(
+        spec=WindowSpec(["conv_id"], "ts", "rows", 5, tiebreak=["turn_idx"]),
+        aggs=[
+            Agg("count_where", "turn_idx", "ntool", cond="__is_tool__"),
+            Agg("distinct_count", "tool", "dtool"),
+            Agg("lag", "tool", "prev8", n=8),   # positional past the frame
+            Agg("first_value", "turn_idx", "fv"),
+        ],
+    )
+
+    def canon(df):
+        return sorted(
+            (r.conv_id, r.turn_idx, r.ntool, r.dtool, r.prev8, r.fv)
+            for r in df.collect())
+
+    pruned = request_features(reqs, hist, "ts", [fw], prune=True)
+    full = request_features(reqs, hist, "ts", [fw], prune=False)
+    assert canon(pruned) == canon(full)
+
+    # the kept set is O(requests × K), not the history
+    kept = prune_rows_history(reqs, hist, fw.spec, fw.aggs)
+    n_req, n_hist, n_kept = reqs.count(), hist.count(), kept.count()
+    assert n_kept <= n_req * 8  # K = max(5, lag 8)
+    assert n_kept < n_hist
