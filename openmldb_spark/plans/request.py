@@ -93,6 +93,9 @@ def prune_rows_history(requests, history, spec, aggs):
     K = max(int(spec.preceding), max(pos, default=0))
     keys = list(spec.partition_by)
     ob = spec.order_by
+    needed = set(keys) | {ob} | set(spec.tiebreak)
+    if not (needed <= set(history.columns) and needed <= set(requests.columns)):
+        return history
 
     hist = history.filter(F.col(ob).isNotNull())
     r = (requests.select(*keys, ob, *[c for c in spec.tiebreak])

@@ -2981,6 +2981,17 @@ class SqlEngine:
                     # windows over request-derived subqueries, whose
                     # frames hold ONLY explicit unions + the request row
                     spec = replace(spec, instance_not_in_window=True)
+                    if union:
+                        # ahead of the kernel isolation route, bounded
+                        # ROWS frames read only the last-K history rows
+                        # below some request — prune before the Arrow
+                        # pipe (plans/request.prune_rows_history; no-op
+                        # for shapes it cannot bound)
+                        from openmldb_spark.plans.request import (
+                            prune_rows_history)
+
+                        union = [prune_rows_history(df, u, spec, aggs)
+                                 for u in union]
                 if union:
                     # union rows need the engine's temp columns too
                     # (e.g. a *_where condition evaluated over union
