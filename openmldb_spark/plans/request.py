@@ -81,16 +81,24 @@ def prune_rows_history(requests, history, spec, aggs):
     rows ranked past ``K`` (or with no request above) can never be
     read and are dropped BEFORE the expensive per-request evaluation —
     at 10^12 stored turns the kernel sees O(requests × K) rows, not
-    history. Returns ``history`` unchanged for frames it cannot bound
-    (ROWS_RANGE prunes by time elsewhere; unbounded frames read
-    everything)."""
+    history.
+
+    Bounded ROWS_RANGE frames prune by TIME instead: a history row
+    survives iff its order key is within Δ ms of the nearest request
+    above it (farther requests are even farther away in time), with a
+    rank ≤ max-lag floor because positional ``lag``/``at`` read past
+    the frame. Returns ``history`` unchanged for frames it cannot
+    bound (unbounded frames read everything)."""
     from pyspark.sql import Window as _W
     from pyspark.sql import functions as F
 
-    if spec.frame != "rows" or spec.preceding is None or spec.preceding < 0:
+    from openmldb_spark.operators.long_window import _order_ms
+
+    if spec.preceding is None or spec.preceding < 0:
         return history
-    pos = [a.n for a in aggs if a.func in ("lag", "at")]
-    K = max(int(spec.preceding), max(pos, default=0))
+    by_rows = spec.frame == "rows"
+    pos = max((a.n for a in aggs if a.func in ("lag", "at")), default=0)
+    K = max(int(spec.preceding), pos) if by_rows else pos
     keys = list(spec.partition_by)
     ob = spec.order_by
     needed = set(keys) | {ob} | set(spec.tiebreak)
@@ -115,9 +123,17 @@ def prune_rows_history(requests, history, spec, aggs):
     w_rank = (_W.partitionBy(*keys, "__ng__").orderBy(*order_desc)
               .rowsBetween(_W.unboundedPreceding, 0))
     merged = merged.withColumn("__hr__", F.sum(1 - F.col("__rq__")).over(w_rank))
-    kept = (merged.filter((F.col("__rq__") == 0) & (F.col("__ng__") >= 1)
-                          & (F.col("__hr__") <= K))
-            .drop("__rq__", "__ng__", "__hr__"))
+    keep = F.col("__hr__") <= K
+    if not by_rows:
+        # nearest request above = the LAST request seen walking down
+        ms = _order_ms(merged, ob)
+        near = F.last(F.when(F.col("__rq__") == 1, ms),
+                      ignorenulls=True).over(w_grp)
+        merged = merged.withColumn("__na__", near)
+        keep = keep | (ms >= F.col("__na__") - F.lit(int(spec.preceding)))
+    kept = (merged.filter((F.col("__rq__") == 0) & (F.col("__ng__") >= 1) & keep)
+            .drop("__rq__", "__ng__", "__hr__", *(
+                [] if by_rows else ["__na__"])))
     # restore history's exact column set (requests may carry extras)
     return kept.select(*hist.columns)
 

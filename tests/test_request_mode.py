@@ -183,3 +183,33 @@ def test_history_pruning_is_invisible(spark, transcripts):
     n_req, n_hist, n_kept = reqs.count(), hist.count(), kept.count()
     assert n_kept <= n_req * 8  # K = max(5, lag 8)
     assert n_kept < n_hist
+
+
+def test_history_pruning_rows_range(spark, transcripts):
+    """Time-based pruning for bounded ROWS_RANGE serving frames is
+    invisible too (incl. a positional lag past the time window and
+    MAXSIZE, which only shrinks frames)."""
+    t = transcripts.withColumn("__is_tool__", F.col("role") == "tool")
+    rnk = F.row_number().over(
+        Window.partitionBy("conv_id").orderBy(F.desc("ts"), F.desc("turn_idx")))
+    tagged = t.withColumn("__rn__", rnk)
+    reqs = tagged.filter(F.col("__rn__") <= 3).drop("__rn__")
+    hist = tagged.filter(F.col("__rn__") > 3).drop("__rn__")
+
+    fw = FeatureWindow(
+        spec=WindowSpec(["conv_id"], "ts", "rows_range", 1_800_000,
+                        maxsize=7, tiebreak=["turn_idx"]),
+        aggs=[
+            Agg("count", "turn_idx", "n30"),
+            Agg("sum_where", "turn_idx", "st", cond="__is_tool__"),
+            Agg("lag", "tool", "prev4", n=4),
+        ],
+    )
+
+    def canon(df):
+        return sorted((r.conv_id, r.turn_idx, r.n30, r.st, r.prev4)
+                      for r in df.collect())
+
+    pruned = request_features(reqs, hist, "ts", [fw], prune=True)
+    full = request_features(reqs, hist, "ts", [fw], prune=False)
+    assert canon(pruned) == canon(full)
