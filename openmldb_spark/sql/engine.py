@@ -263,7 +263,10 @@ def _rewrite_where_aggs(sql: str) -> str:
 
 
 def _strip_hash_comments(sql: str) -> str:
-    """Dialect '#' line comments (quote-aware)."""
+    """Dialect line comments, quote-aware: ``#`` and ``--`` both start a
+    to-end-of-line comment (ZetaSQL rule — ``--`` is never double unary
+    minus in this dialect; usecase/autox.yaml uses ``--`` annotations
+    inside FROM-clause subqueries)."""
     out = []
     in_str = None
     i = 0
@@ -276,7 +279,7 @@ def _strip_hash_comments(sql: str) -> str:
         elif ch in ("'", '"'):
             in_str = ch
             out.append(ch)
-        elif ch == "#":
+        elif ch == "#" or sql[i:i + 2] == "--":
             while i < len(sql) and sql[i] != "\n":
                 i += 1
             continue
@@ -2048,6 +2051,52 @@ class SqlEngine:
             ts = self.index_ts.get(_db_flat(self.current_db, name))
         return ts
 
+    def _subquery_storage_ts(self, text: str) -> str | None:
+        """Storage-order ts column of a FROM-clause subquery, when
+        derivable: a UNION ALL of single-(indexed-)table SELECTs —
+        each constituent is iterated newest-index-ts-first by the
+        online storage — possibly under projection layers, whose
+        index-ts columns share one surviving output name. Feeds
+        unordered LAST JOIN's storage-order rule (union_query.yml
+        ids 0-1; the corpus's own comment: per-segment iteration is
+        max-ts → min-ts, tie order undefined)."""
+        t = text.strip().rstrip(";").strip()
+        parts = _split_set_union(t)
+        if len(parts) > 1:
+            names = {self._subquery_storage_ts(p[0]) for p in parts}
+            return names.pop() if len(names) == 1 else None
+        m = re.match(r"(?is)^\s*select\s+(.*?)\s+from\s+(.*)$", t)
+        if not m:
+            return None
+        items, rest = m.group(1), m.group(2).strip()
+        if rest.startswith("("):
+            depth, j = 1, 1
+            while j < len(rest) and depth:
+                if rest[j] == "(":
+                    depth += 1
+                elif rest[j] == ")":
+                    depth -= 1
+                j += 1
+            tail = rest[j:].strip()
+            if tail and not re.fullmatch(r"(?is)(?:AS\s+)?\w*", tail):
+                return None
+            ts = self._subquery_storage_ts(rest[1:j - 1])
+        else:
+            mt = re.match(r"(?is)^(\w+)(?:\s+(?:AS\s+)?\w+)?(?:\s+WHERE\s+.*)?$", rest)
+            if not mt:
+                return None
+            ts = self._index_ts_for(mt.group(1).lower())
+        if ts is None:
+            return None
+        for it in _split_top(items):
+            s = it.strip()
+            if s == "*" or re.fullmatch(r"(?is)\w+\.\*", s):
+                return ts
+            ms = re.fullmatch(r"(?is)(?:\w+\.)?(\w+)(?:\s+(?:AS\s+)?(\w+))?", s)
+            if ms and ms.group(1).lower() == ts.lower():
+                return ms.group(2) or ms.group(1)
+        return None
+
     # --- DDL (reference CreateTablePlan.scala / InsertPlan.scala) -----
 
     _DDL_TYPES = {
@@ -2168,6 +2217,7 @@ class SqlEngine:
         # are deferred until the whole FROM region is scanned
         pending: dict[str, DataFrame] = {}
         pending_hist: dict[str, DataFrame] = {}
+        pending_storage: dict[str, str] = {}
         while i < n:
             if text[i] == "(":
                 j = i + 1
@@ -2189,6 +2239,13 @@ class SqlEngine:
                     if alias is None:
                         alias = f"__sub{len(self._local_tables) + len(pending)}__"
                     pending[alias.lower()] = df
+                    st = self._subquery_storage_ts(inner)
+                    if st is not None:
+                        actual = next(
+                            (c for c in df.columns if c.lower() == st.lower()),
+                            None)
+                        if actual:
+                            pending_storage[alias.lower()] = actual
                     ctx = getattr(self, "_request_ctx", None)
                     if ctx is not None and self._REQ_VIEW in inner.lower():
                         # request-derived subquery: windows over its
@@ -2211,6 +2268,7 @@ class SqlEngine:
                 i += 1
         self._local_tables.update(pending)
         self._local_hist.update(pending_hist)
+        self._local_storage_ts.update(pending_storage)
         return "".join(out)
 
     # -- parsing ------------------------------------------------------------
@@ -2351,13 +2409,16 @@ class SqlEngine:
     def sql(self, text: str) -> DataFrame:
         prev_local = getattr(self, "_local_tables", None)
         prev_hist = getattr(self, "_local_hist", None)
+        prev_storage = getattr(self, "_local_storage_ts", None)
         self._local_tables = dict(prev_local) if prev_local else {}
         self._local_hist = dict(prev_hist) if prev_hist else {}
+        self._local_storage_ts = dict(prev_storage) if prev_storage else {}
         try:
             return self._sql(text)
         finally:
             self._local_tables = prev_local
             self._local_hist = prev_hist
+            self._local_storage_ts = prev_storage
 
     def _sql(self, text: str) -> DataFrame:
         # backtick-quoted identifiers are plain names in this dialect;
@@ -2699,6 +2760,18 @@ class SqlEngine:
                 residual_tail = cond_txt[tail.start():]
                 cond_txt = cond_txt[: tail.start()]
             right = self._table(rtbl)
+            # a subquery right side may carry duplicate output names
+            # ("select c4, c4 from t2" — last_join_where.yaml id=1);
+            # uniquify so the prefixed flat namespace stays unambiguous
+            # (first occurrence keeps the referenceable name)
+            if len({c.lower() for c in right.columns}) != len(right.columns):
+                seen: dict[str, int] = {}
+                uniq = []
+                for c in right.columns:
+                    k = c.lower()
+                    seen[k] = seen.get(k, 0) + 1
+                    uniq.append(c if seen[k] == 1 else f"{c}__dup{seen[k]}__")
+                right = right.toDF(*uniq)
             # prefix right columns to avoid collisions; an explicit base
             # alias shadows the right table's real name (id=23)
             prefix = f"{ralias or rtbl}__"
@@ -2782,11 +2855,14 @@ class SqlEngine:
             order_raw = order_ref.split(".")[-1] if order_ref else None
             # "last" of an ASC iteration is the max; of DESC, the min
             pick = "min" if (order_dir or "").lower() == "desc" else "max"
-            if order_raw is None and self._index_ts_for(rtbl):
+            if order_raw is None:
                 # unordered LAST JOIN follows storage iteration order:
                 # newest index-ts first, first match kept ⇒ max index ts
-                # (test_lastjoin_simple.yaml id 4-5)
-                order_raw = self._index_ts_for(rtbl)
+                # (test_lastjoin_simple.yaml id 4-5); a union-of-indexed-
+                # tables subquery inherits the constituent index ts
+                # (union_query.yml ids 0-1)
+                order_raw = self._index_ts_for(rtbl) or (
+                    getattr(self, "_local_storage_ts", None) or {}).get(rtbl)
 
             if getattr(self, "_request_ctx", None) is not None \
                     and "__req_id__" in df.columns \
@@ -2904,8 +2980,14 @@ class SqlEngine:
                     plain_items.append(f"{expr} AS {body.strip()}")
                 elif not re.fullmatch(r"[\w\.]+|\*", body.strip()):
                     # unaliased expressions are named by their (deprefixed)
-                    # source text, matching the reference's output naming
-                    plain_items.append(f"{expr} AS `{expr.strip()}`")
+                    # source text, matching the reference's output naming;
+                    # simple arithmetic is pretty-printed with single
+                    # spaces around operators, like the reference's AST
+                    # printer ("c2+1" → "c2 + 1" — test_sub_select id=0)
+                    name = expr.strip()
+                    if re.fullmatch(r"[\w\.]+(\s*[+\-*/%]\s*[\w\.]+)+", name):
+                        name = re.sub(r"\s*([+\-*/%])\s*", r" \1 ", name)
+                    plain_items.append(f"{expr} AS `{name}`")
                 else:
                     plain_items.append(expr)
                 continue

@@ -148,6 +148,7 @@ FILES = (
         "/root/reference/cases/query/union_query.yml",
         "/root/reference/cases/query/udf_query.yaml",
         "/root/reference/cases/query/with.yaml",
+        "/root/reference/cases/usecase/autox.yaml",
     ]
 )
 
@@ -159,16 +160,7 @@ KNOWN_DIVERGENCES = {
         "parallelization ConcatJoin path; single-window cases (id=3) and "
         "its own TODO-tagged id=26 say NULL — we emit NULL consistently"
     ),
-    ("last_join_where.yaml", "1"): "same right table joined twice (prefix collision)",
-    ("operator_query.yaml", "6"): "parenthesized tuple comparison syntax",
-    ("test_sub_select.yaml", "0"): (
-        "unaliased expression output naming: engine uses the source "
-        "text ('c2+1'), the reference pretty-prints the AST ('c2 + 1')"
-    ),
     ("simple_query.yaml", "4-2"): "case SQL uses undefined function 'timestampaddd' (typo in corpus)",
-    ("union_query.yml", "0"): "unordered LAST JOIN on index-less union subquery (storage-order defined)",
-    ("union_query.yml", "1"): "unordered LAST JOIN on index-less union subquery (storage-order defined)",
-    ("union_query.yml", "5"): "bare column through WINDOW UNION subquery",
     ("disk_table.yaml", "12"): (
         "disk-table upsert on duplicate (key, ts): SSD/HDD storage keeps "
         "one row per key+ts — online disk-storage artifact; the engine "
