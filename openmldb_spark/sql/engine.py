@@ -912,6 +912,22 @@ def _split_anchor_pair(expr: str, phs: list[str]):
 
     if not has_col(expr):
         return None, None, expr
+    # unwrap redundant outer parens so `(col + nested_agg)` splits at
+    # its top-level operator (hybridsql_gen auto_gen_case_0)
+    expr = expr.strip()
+    while expr.startswith("(") and expr.endswith(")"):
+        depth = 0
+        for j, ch in enumerate(expr):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and j < len(expr) - 1:
+                    break
+        else:
+            expr = expr[1:-1].strip()
+            continue
+        break
     s = strip_strings(expr)
     cands = {"cmp": [], "add": [], "mul": []}
     depth = 0
@@ -2466,8 +2482,16 @@ class SqlEngine:
             return self.spark.createDataFrame(
                 rows, "Field string, Type string, Null string")
         if re.match(r"(?is)^SHOW\s+(SESSION\s+|GLOBAL\s+)?VARIABLES\s*$", q):
+            # canonical variable set + defaults per the reference's
+            # SET_STATEMENT.md / test_execute_mode.yaml; explicit SETs
+            # overlay. execute_mode reports the effective mode
+            # (lowercased), matching the reference CLI display.
+            vals = {"enable_trace": "false", "job_timeout": "20000",
+                    "sync_job": "false"}
+            vals.update(self.session_vars)
+            vals["execute_mode"] = self._exec_mode()
             return self.spark.createDataFrame(
-                sorted(self.session_vars.items()),
+                sorted(vals.items()),
                 "Variable_name string, Value string")
         if re.match(r"(?is)^SHOW\s+TABLES\s*$", q):
             names = sorted(
@@ -3291,6 +3315,16 @@ class SqlEngine:
         """right-side reference → raw (pre-prefix) column name"""
         return ref.split(".")[-1]
 
+    # keywords that may legitimately trail an expression in a select
+    # item and must not be mistaken for a ZetaSQL implicit alias
+    _RESERVED_TAIL = frozenset({
+        "over", "from", "where", "as", "and", "or", "not", "is", "null",
+        "true", "false", "asc", "desc", "between", "in", "like", "end",
+        "preceding", "following", "row", "rows", "unbounded", "current",
+        "case", "when", "then", "else", "window", "group", "order",
+        "having", "limit", "union", "join", "on",
+    })
+
     def _split_alias(self, item: str) -> tuple[str, str | None]:
         """Split a trailing top-level ``AS alias`` (not CAST(x AS t))."""
         depth = 0
@@ -3305,6 +3339,15 @@ class SqlEngine:
                 tail = item[i + 1:].strip()
                 if re.fullmatch(r"\w+", tail):
                     return item[: i - 3].strip(), tail
+        # ZetaSQL implicit alias: `expr alias` without AS (reference
+        # corpus `select count(*) total_count` — test_online_batch_config
+        # id 4). Conservative shape: body ends in `)` or a quoted
+        # literal, trailing token is an unreserved identifier at depth 0.
+        m = re.fullmatch(r"(.*[)'\"`])\s+([A-Za-z_]\w*)", item.strip(),
+                         re.S)
+        if m and m.group(2).lower() not in self._RESERVED_TAIL \
+                and item.count("(") == item.count(")"):
+            return m.group(1).strip(), m.group(2)
         return item.strip(), None
 
     def _make_agg(self, fname: str, args: list[str], alias: str,

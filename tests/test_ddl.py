@@ -54,3 +54,40 @@ def test_alias_shadows_database_name(spark):
     assert eng.sql("select base.c1 from base").collect()[0][0] == 5
     # genuine cross-db reference still flattens to the db table
     assert eng.sql("select x from t1.c1").collect()[0][0] == 9
+
+
+def test_show_variables_defaults(spark):
+    """SHOW VARIABLES reports the canonical variable set with defaults
+    (reference docs SET_STATEMENT.md; cases/integration_test/ddl/
+    test_execute_mode.yaml), with explicit SETs overlaid."""
+    eng = _engine(spark)
+    rows = {r.Variable_name: r.Value
+            for r in eng.sql("SHOW VARIABLES").collect()}
+    assert rows == {"enable_trace": "false", "execute_mode": "online",
+                    "job_timeout": "20000", "sync_job": "false"}
+    eng.sql('SET @@SESSION.execute_mode = "online"')
+    eng.sql("SET @@job_timeout = '99'")
+    rows = {r.Variable_name: r.Value
+            for r in eng.sql("SHOW VARIABLES").collect()}
+    assert rows["execute_mode"] == "online"
+    assert rows["job_timeout"] == "99"
+    assert rows["enable_trace"] == "false"
+
+
+def test_implicit_select_alias(spark):
+    """ZetaSQL implicit alias: ``expr alias`` without AS (reference
+    corpus test_online_batch_config.yaml id 4 uses
+    ``count(*) total_count``)."""
+    eng = _engine(spark)
+    eng.sql("CREATE TABLE ia_t (id int, v int)")
+    eng.sql("INSERT INTO ia_t VALUES (1, 10), (2, 20), (3, 30)")
+    out = eng.sql("select count(*) total_count from ia_t").collect()
+    assert out[0].total_count == 3
+    out = eng.sql("select sum(v) s, max(v) mx from ia_t").collect()
+    assert (out[0].s, out[0].mx) == (60, 30)
+    # reserved tails must NOT be eaten as aliases
+    out = eng.sql(
+        "select id, sum(v) over w as sv from ia_t "
+        "window w as (partition by id order by id "
+        "rows between unbounded preceding and current row)").collect()
+    assert {r.sv for r in out} == {10, 20, 30}

@@ -149,6 +149,10 @@ FILES = (
         "/root/reference/cases/query/udf_query.yaml",
         "/root/reference/cases/query/with.yaml",
         "/root/reference/cases/usecase/autox.yaml",
+        "/root/reference/cases/integration_test/ddl/test_execute_mode.yaml",
+        "/root/reference/cases/integration_test/non_auto/test_online_batch_config.yaml",
+        "/root/reference/cases/query/fail_query.yaml",
+        "/root/reference/cases/function/ut_case/test_unique_expect.yaml",
     ]
 )
 
@@ -167,11 +171,23 @@ KNOWN_DIVERGENCES = {
         "(like the reference's own memory tables) keeps all inserts"
     ),
     ("disk_table.yaml", "13"): "same as id 12 (HDD variant)",
+    ("test_online_batch_config.yaml", "6"): (
+        "corpus typo: expect declares `c3 string` but the input column "
+        "is int and the expected literals are ints — the declared type "
+        "contradicts the case's own data"
+    ),
     ("test_delete.yaml", "17"): (
         "duplicate index names with per-index delete visibility (rows "
         "deleted from one index stay readable through another) — "
         "online-storage artifact; the engine deletes rows globally"
     ),
+    # v0.4.0-era SHOW VARIABLES listed only explicitly-SET variables;
+    # the current surface (integration_test/ddl/test_execute_mode.yaml,
+    # docs SET_STATEMENT.md) reports the canonical 4-variable set with
+    # defaults — the two corpus copies contradict each other, we match
+    # the newer one (keys are parent/basename to scope to the old copy)
+    ("v040/test_execute_mode.yaml", "0"): "superseded SHOW VARIABLES shape",
+    ("v040/test_execute_mode.yaml", "1"): "superseded SHOW VARIABLES shape",
 }
 # parametrized families excluded by prefix — both round-3 entries
 # (in_predicate coercions, multi-char ESCAPE) are now implemented
@@ -184,6 +200,9 @@ KNOWN_PREFIXES: dict = {}
 # reference-TODO tags, success-only online-cluster scripts) — the
 # zero-green guard is waived for exactly these
 SKIP_ONLY_FILES = {
+    # fail_query: pure error-cases; test_unique_expect: expect block is
+    # literally null in the corpus (expectations live in the C++ UT)
+    "fail_query.yaml", "test_unique_expect.yaml",
     "error_window.yaml", "window_and_lastjoin.yaml", "test_drop_deploy.yaml",
     "test_create_no_index.yaml", "test_delete_index.yaml",
     "test_long_window_batch.yaml", "test_load_data.yaml",
@@ -203,11 +222,13 @@ SMOKE_FILES = {
 @pytest.mark.parametrize("path", FILES, ids=[f.rsplit("/", 1)[-1] for f in FILES])
 def test_reference_yaml_file(spark, path):
     fname = path.rsplit("/", 1)[-1]
+    fname2 = "/".join(path.rsplit("/", 2)[-2:])  # parent/basename key
     failures = []
     ok = skip = diverge = 0
     for case in load_cases(path):
         cid = str(case.get("id"))
-        if (fname, cid) in KNOWN_DIVERGENCES:
+        if (fname, cid) in KNOWN_DIVERGENCES \
+                or (fname2, cid) in KNOWN_DIVERGENCES:
             diverge += 1
             continue
         if any(f == fname and cid.startswith(p) for f, p in KNOWN_PREFIXES):
