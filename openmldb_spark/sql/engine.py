@@ -1950,7 +1950,33 @@ class SqlEngine:
         finally:
             job["end_time"] = _time.strftime("%Y-%m-%d %H:%M:%S")
 
+    # the pre-2023 TaskManager surface stored jobs in a system table
+    # (__INTERNAL_DB.JOB_INFO) and SHOW JOBS projected nine columns
+    # (cases/integration_test/out_in/test_job.yaml); the current docs
+    # shape (_JOB_SCHEMA above, docs task_manage/SHOW_JOBS.md) added
+    # db/name/pid/cur_task/component. Both are supported: the legacy
+    # view activates only when the internal db has been USEd.
+    _JOB_INFO_LEGACY_SCHEMA = (
+        "id int, job_type string, state string, start_time timestamp, "
+        "end_time timestamp, parameter string, cluster string, "
+        "application_id string, error string")
+
     def _job_statement(self, verb: str, jid: str | None) -> DataFrame:
+        legacy = self.databases.get("__internal_db", {}).get("job_info")
+        if legacy is not None:
+            if jid is None and verb == "SHOW":
+                return legacy
+            sel = legacy.filter(F.col("id") == int(jid)) if jid else None
+            if sel is None or not sel.take(1):
+                raise ValueError(f"job {jid} not found")
+            if verb == "STOP":
+                upd = legacy.withColumn(
+                    "state",
+                    F.when(F.col("id") == int(jid), F.lit("STOPPED"))
+                    .otherwise(F.col("state")))
+                self.databases["__internal_db"]["job_info"] = upd
+                sel = upd.filter(F.col("id") == int(jid))
+            return sel
         jobs = getattr(self, "_jobs", [])
         if jid is not None:
             sel = [j for j in jobs if j["job_id"] == int(jid)]
@@ -2456,7 +2482,14 @@ class SqlEngine:
         muse = re.match(r"(?is)^USE\s+([A-Za-z_]\w*)\s*$", q)
         if muse:
             self.current_db = muse.group(1).lower()
-            self.databases.setdefault(self.current_db, {})
+            d = self.databases.setdefault(self.current_db, {})
+            if self.current_db == "__internal_db" and "job_info" not in d:
+                # the TaskManager metadata store: a system database
+                # holding the job registry table, pre-created on first
+                # USE (reference: out_in/test_job.yaml inserts into
+                # __INTERNAL_DB.JOB_INFO and reads it via SHOW JOBS)
+                d["job_info"] = self.spark.createDataFrame(
+                    [], self._JOB_INFO_LEGACY_SCHEMA)
             return self.spark.range(0).select(F.lit(self.current_db).alias("database"))
         mset = re.match(r"(?is)^SET\s+(@@?[\w.]+)\s*=\s*(.+)$", q)
         if mset:

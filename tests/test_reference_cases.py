@@ -12,6 +12,7 @@ from __future__ import annotations
 import glob
 
 import pytest
+import yaml
 
 from tests.reference_cases import load_cases, run_case
 
@@ -153,6 +154,23 @@ FILES = (
         "/root/reference/cases/integration_test/non_auto/test_online_batch_config.yaml",
         "/root/reference/cases/query/fail_query.yaml",
         "/root/reference/cases/function/ut_case/test_unique_expect.yaml",
+        "/root/reference/cases/integration_test/out_in/test_job.yaml",
+        "/root/reference/cases/function/v040/test_job.yaml",
+        # byte-identical duplicates of their function/ counterparts
+        # (verified with diff) — listed so the corpus inventory covers
+        # every integration_test suite; handling matches by basename
+        "/root/reference/cases/integration_test/data_expiration/test_data_expiration.yaml",
+        "/root/reference/cases/integration_test/deploy/test_create_deploy.yaml",
+        "/root/reference/cases/integration_test/deploy/test_drop_deploy.yaml",
+        "/root/reference/cases/integration_test/deploy/test_show_deploy.yaml",
+        "/root/reference/cases/integration_test/disk_table/disk_table.yaml",
+        "/root/reference/cases/integration_test/spark/test_ads.yaml",
+        "/root/reference/cases/integration_test/spark/test_credit.yaml",
+        "/root/reference/cases/integration_test/spark/test_fqz_studio.yaml",
+        "/root/reference/cases/integration_test/spark/test_jd.yaml",
+        "/root/reference/cases/integration_test/spark/test_news.yaml",
+        "/root/reference/cases/integration_test/test_performance_insensitive/test_performance_insensitive.yaml",
+        "/root/reference/cases/integration_test/ut_case/test_unique_expect.yaml",
     ]
 )
 
@@ -188,6 +206,11 @@ KNOWN_DIVERGENCES = {
     # the newer one (keys are parent/basename to scope to the old copy)
     ("v040/test_execute_mode.yaml", "0"): "superseded SHOW VARIABLES shape",
     ("v040/test_execute_mode.yaml", "1"): "superseded SHOW VARIABLES shape",
+    ("out_in/test_job.yaml", "2"): (
+        "expects the JOB_INFO row inserted by case 0 (the corpus ran "
+        "sequentially against one shared cluster); cases replay "
+        "independently here, so the insert isn't visible"
+    ),
 }
 # parametrized families excluded by prefix — both round-3 entries
 # (in_predicate coercions, multi-char ESCAPE) are now implemented
@@ -203,6 +226,12 @@ SKIP_ONLY_FILES = {
     # fail_query: pure error-cases; test_unique_expect: expect block is
     # literally null in the corpus (expectations live in the C++ UT)
     "fail_query.yaml", "test_unique_expect.yaml",
+    # v040 test_job: expectations live under a misspelled key
+    # ('expects'/'debus') the reference harness itself never reads, and
+    # contradict the case's own inserts (id 0 inserts job 1, expects
+    # JOB-11220021) — corpus-malformed, every case skips (full path:
+    # the integration_test/out_in copy runs green cases)
+    "/root/reference/cases/function/v040/test_job.yaml",
     "error_window.yaml", "window_and_lastjoin.yaml", "test_drop_deploy.yaml",
     "test_create_no_index.yaml", "test_delete_index.yaml",
     "test_long_window_batch.yaml", "test_load_data.yaml",
@@ -225,7 +254,13 @@ def test_reference_yaml_file(spark, path):
     fname2 = "/".join(path.rsplit("/", 2)[-2:])  # parent/basename key
     failures = []
     ok = skip = diverge = 0
-    for case in load_cases(path):
+    try:
+        cases = load_cases(path)
+    except yaml.YAMLError:
+        if fname in SKIP_ONLY_FILES or path in SKIP_ONLY_FILES:
+            return  # corpus-malformed file, documented above
+        raise
+    for case in cases:
         cid = str(case.get("id"))
         if (fname, cid) in KNOWN_DIVERGENCES \
                 or (fname2, cid) in KNOWN_DIVERGENCES:
