@@ -226,10 +226,35 @@ def window_agg_skewed(
     # derive from the HOT subset only — persisted so the q-1 union
     # branches don't each re-scan the full table (hot rows are a bounded
     # fraction by construction, safe to cache even at 10^12 total rows).
-    hot = tagged.filter(F.col("__qs__").isNotNull()).persist()
+    # Two regimes, decided by the hot-subset size (exact when the
+    # statistics table is at hand, else assume big):
+    # - BIG: repartition the hot subset by (key, bucket) before caching
+    #   (a hot key's rows sit contiguously in source files, so an
+    #   unspread cache serializes every consumer on one scan task) and
+    #   materialize the cache NOW — the q-1 expansion branches below
+    #   are siblings of one union and would otherwise race the
+    #   unmaterialized cache, EACH re-scanning the full input behind
+    #   the hot straggler task (measured: 7 extra full-table stages at
+    #   q=8, 42M rows). The eager job is bounded (hot rows only) and
+    #   precedented — the native_when_cold probe above is one already.
+    # - SMALL (hot subset under ~2M rows): the redundant branch scans
+    #   cost less than the extra shuffle + eager jobs' fixed latency —
+    #   keep the single-pass lazy plan (measured: the eager plan is
+    #   ~2x flagship latency at 660k rows, BENCH.md r5).
+    hot_rows = None
+    if counts is not None and not union:
+        hot_rows = (counts.filter(F.col("__n__") >= hot_threshold)
+                    .agg(F.sum("__n__")).collect()[0][0]) or 0
+    big = hot_rows is None or hot_rows >= 2_000_000
+    hot = tagged.filter(F.col("__qs__").isNotNull())
+    if big:
+        hot = hot.repartition(*keys, _BUCKET)
+    hot = hot.persist()
     _LAST_HOT.append(hot)
     while len(_LAST_HOT) > _MAX_HOT_CACHED:
         _LAST_HOT.pop(0).unpersist(False)
+    if big:
+        hot.count()
     copies = []
     if spec.preceding is None:
         for i in range(1, quantiles):
@@ -259,20 +284,57 @@ def window_agg_skewed(
         wdesc = W.partitionBy(*keys, _BUCKET).orderBy(
             F.col("__oms__").desc(), *[F.col(c).desc() for c in spec.tiebreak]
         )
-        ranked = hot.withColumn("__rk__", F.row_number().over(wdesc))
+        # ONE ranked window over the cached hot subset, then persist
+        # just the per-bucket context suffix (≤ n_rows × buckets ×
+        # hot keys — tiny) so the q-1 branches are filters on a small
+        # cached table instead of q-1 window recomputations
+        ctx = (hot.withColumn("__rk__", F.row_number().over(wdesc))
+               .filter(F.col("__rk__") <= n_rows).drop("__rk__").persist())
+        _LAST_HOT.append(ctx)
+        while len(_LAST_HOT) > _MAX_HOT_CACHED:
+            _LAST_HOT.pop(0).unpersist(False)
+        if big:
+            ctx.count()  # same race: materialize before the siblings
         for i in range(1, quantiles):
             copies.append(
-                ranked.filter((F.col(_BUCKET) < i) & (F.col("__rk__") <= n_rows))
-                .drop("__rk__")
+                ctx.filter(F.col(_BUCKET) < i)
                 .withColumn(_BUCKET, F.lit(i))
                 .withColumn(_EMIT, F.lit(0))
             )
-    expanded = tagged
+    # BIG regime: primary buffer = cold rows straight off the scan (the
+    # hot file's scan task filters to nothing) ∪ hot rows from the
+    # spread cache — no union branch funnels the hot key through a
+    # single source task. SMALL: single-pass tagged scan.
+    expanded = (tagged.filter(F.col("__qs__").isNull()).unionByName(hot)
+                if big else tagged)
     for c in copies:
         expanded = expanded.unionByName(c)
     expanded = expanded.drop("__qs__", "__oms__")
 
-    # 4. per-(key, bucket) kernel — identical kernel, finer grouping
+    # 4a. native salted plan: when every aggregate lowers to Catalyst,
+    # evaluate the SAME expanded (key, bucket) buffer with the JVM
+    # window — emit=0 context rows feed frames (rowsBetween counts all
+    # buffer rows, exactly the kernel's contract) and are filtered from
+    # the output. The salting still breaks the one-task-per-hot-key
+    # sort; the per-bucket evaluation stays in whole-stage codegen
+    # instead of 1 JVM thread + 1 Python worker per core (measured: the
+    # Arrow↔Python kernel is the scaling ceiling at 32 cores).
+    from dataclasses import replace as _dc_replace
+
+    from openmldb_spark.operators.window import (
+        _UNION, _native_expressible, _native_window_agg)
+
+    spec_b = _dc_replace(
+        spec, partition_by=tuple(keys) + (_BUCKET,),
+        tiebreak=(("__negu__",) if union else ()) + tuple(spec.tiebreak))
+    if _native_expressible(spec_b, aggs, None, expanded):
+        work_b = (expanded.withColumn("__negu__", -F.col(_UNION))
+                  if union else expanded)
+        out = _native_window_agg(work_b, spec_b, aggs)
+        out = out.filter(F.col(_EMIT) == 1)
+        return out.select(*df.columns, *[a.name for a in aggs])
+
+    # 4b. per-(key, bucket) kernel — identical kernel, finer grouping
     from openmldb_spark.operators.window import run_kernel_partitioned
 
     out_cols = list(df.columns)

@@ -703,9 +703,52 @@ def _native_window_agg(df: DataFrame, spec: WindowSpec, aggs: list[Agg]) -> Data
             out = _native_distinct_count_rows(out, spec, a, rcol)
         out = out.drop(rcol)
     int_wrap = (T.ByteType, T.ShortType, T.IntegerType)
+    # plain bounded ROWS frames with a small extent take an
+    # allocation-free dc plan: dc(frame) = frame_rows − repeats, where
+    # row j (buffer distance k from the probe) is a repeat iff its
+    # previous same-value row is also inside the frame — with d_j the
+    # lag distance to that row (CASE over n buffer lags), exactly
+    # d_j ≤ n − k. Everything is integer lags/compares sharing the ONE
+    # (keys) sort: no per-row array materialization (collect_list +
+    # array_distinct allocates O(frame) per row — measured as a
+    # GC-bound stage at 42M rows; BENCH.md r5).
+    _DC_LAG_TYPES = (T.StringType, T.ByteType, T.ShortType, T.IntegerType,
+                     T.LongType, T.BooleanType, T.DateType, T.TimestampType,
+                     T.TimestampNTZType)
+    def _dc_lag_plan(out: DataFrame, a: Agg) -> DataFrame | None:
+        if not (spec.frame == "rows" and mode == "exact" and upper == 0
+                and lower is not None and 1 <= -lower <= 32):
+            return None
+        if not isinstance(df.schema[a.col].dataType, _DC_LAG_TYPES):
+            return None
+        n = -lower
+        filled = F.coalesce(F.col(a.col),
+                            _default_lit(df.schema[a.col].dataType))
+        # distance-to-previous-same-value d as a CASE over n buffer
+        # lags (one Window layer), then the repeat count: the row at
+        # buffer distance k from the probe repeats inside the frame iff
+        # d ≤ n − k — n more integer lags over the same sort. A missing
+        # lag (partition head) is NULL and counts 0.
+        dex = F.when(F.lag(filled, 1).over(w_lag) == filled, F.lit(1))
+        for m in range(2, n + 1):
+            dex = dex.when(F.lag(filled, m).over(w_lag) == filled, F.lit(m))
+        dcol = f"__dc_d_{a.name}__"
+        out = out.withColumn(dcol, dex)  # NULL → no same value within n
+        rep = F.lit(0)
+        for k in range(0, n):  # k = n is impossible (d ≥ 1 > n − n)
+            dk = F.col(dcol) if k == 0 else F.lag(F.col(dcol), k).over(w_lag)
+            rep = rep + F.coalesce(
+                F.when(dk <= n - k, F.lit(1)).otherwise(F.lit(0)), F.lit(0))
+        cnt = F.count(F.lit(1)).over(w)
+        return out.withColumn(a.name, (cnt - rep).cast("long")).drop(dcol)
+
     for a in aggs:
         if a.func == "distinct_count":
             if small_dc:
+                fast = _dc_lag_plan(out, a)
+                if fast is not None:
+                    out = fast
+                    continue
                 filled = F.coalesce(F.col(a.col),
                                     _default_lit(df.schema[a.col].dataType))
                 expr = F.size(F.array_distinct(F.collect_list(filled).over(w)))

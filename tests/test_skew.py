@@ -89,3 +89,29 @@ def test_salting_actually_splits(spark, transcripts):
         .select("b").distinct().count()
     )
     assert nb >= 2
+
+
+def test_salted_native_route_zero_python(spark, transcripts):
+    """Native-expressible agg lists evaluate the salted (key, bucket)
+    buffer with the JVM window — no Arrow/Python node in the plan (the
+    kernel at 1 JVM thread + 1 Python worker per core is the measured
+    scaling ceiling; see BENCH.md r5)."""
+    spec = WindowSpec(["conv_id"], "ts", "rows", 7, tiebreak=["turn_idx"])
+    out = window_agg_skewed(transcripts, spec, AGGS, quantiles=3, hot_threshold=50)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InPandas" not in plan and "ArrowEvalPython" not in plan, plan[:2000]
+
+
+def test_salted_kernel_route_for_non_native(spark, transcripts):
+    """Non-native aggregates (ew_avg) still take the kernel under
+    salting and match the plain kernel."""
+    spec = WindowSpec(["conv_id"], "ts", "rows", 7, tiebreak=["turn_idx"])
+    aggs = [Agg("ew_avg", "turn_idx", "a_ew", n=5)]
+    plain = window_agg(transcripts, spec, aggs, impl="kernel").toPandas()
+    salted = window_agg_skewed(
+        transcripts, spec, aggs, quantiles=3, hot_threshold=50
+    ).toPandas()
+    p, s = _norm(plain, ["a_ew"]), _norm(salted, ["a_ew"])
+    pn = pd.to_numeric(p["a_ew"], errors="coerce").astype(float).to_numpy()
+    sn = pd.to_numeric(s["a_ew"], errors="coerce").astype(float).to_numpy()
+    assert np.allclose(pn, sn, equal_nan=True)

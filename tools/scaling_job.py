@@ -57,6 +57,16 @@ def main():
         from openmldb_spark.sources.iceberg_lite import IcebergLiteTable
 
         ice_loc = f"{tdir}_iceberg"
+        if IcebergLiteTable.exists(ice_loc):
+            # stale-input guard: a cached table whose data-file count
+            # can't feed the measured core count caps the scan (and the
+            # whole map side before the first shuffle) at the file /
+            # row-group count, corrupting the scaling comparison
+            t = IcebergLiteTable.load(ice_loc)
+            if len(t.scan_files()) < min(PARTITIONS, 2 * cores):
+                import shutil
+
+                shutil.rmtree(ice_loc)
         if not IcebergLiteTable.exists(ice_loc):
             df = generate_transcripts(spark, n_convs=N_CONVS, avg_turns=AVG_TURNS, seed=42)
             IcebergLiteTable.create(ice_loc, df.schema).append(df)
@@ -73,34 +83,45 @@ def main():
     n_turns = transcripts.count()
 
     primary = transcripts.withColumn("__is_tool__", F.col("role") == "tool")
-    fw = FeatureWindow(
-        spec=WindowSpec(["conv_id"], "ts", "rows", 10, tiebreak=["turn_idx"]),
-        aggs=[
-            Agg("count_where", "turn_idx", "n_tool_calls_10", cond="__is_tool__"),
-            Agg("distinct_count", "tool", "n_distinct_tools_10"),
-            Agg("distinct_count", "role", "n_distinct_roles_10"),
-            Agg("lag", "tool", "prev_tool", n=1),
-            Agg("lag", "role", "prev_role", n=1),
-            Agg("count", None, "n_turns_10"),
-            Agg("stddev", "turn_idx", "std_turn_10"),
-            Agg("min", "ts", "min_ts_10"),
-            Agg("max", "ts", "max_ts_10"),
-        ],
-        skew=True, skew_quantiles=8, skew_hot_threshold=100_000,
-        # (conv_id, turn_idx) is the unique turn identity: text and
-        # other payloads stay OUT of the Arrow↔Python pipe
-        row_key=["conv_id", "turn_idx"],
-    )
-    job = backfill_features(
-        primary, "ts", [fw],
-        asof=[AsOfSource(meta, on=["conv_id"], right_ts="ts", prefix="m_", how="union_asof")],
-        session_key="conv_id", session_gap=1800.0, session_tiebreak=["turn_idx"],
-    ).drop("__is_tool__")
 
+    def build():
+        return backfill_features(
+            primary, "ts", [make_fw()],
+            asof=[AsOfSource(meta, on=["conv_id"], right_ts="ts",
+                             prefix="m_", how="union_asof")],
+            session_key="conv_id", session_gap=1800.0,
+            session_tiebreak=["turn_idx"],
+        ).drop("__is_tool__")
+
+    def make_fw():
+        return FeatureWindow(
+            spec=WindowSpec(["conv_id"], "ts", "rows", 10, tiebreak=["turn_idx"]),
+            aggs=[
+                Agg("count_where", "turn_idx", "n_tool_calls_10", cond="__is_tool__"),
+                Agg("distinct_count", "tool", "n_distinct_tools_10"),
+                Agg("distinct_count", "role", "n_distinct_roles_10"),
+                Agg("lag", "tool", "prev_tool", n=1),
+                Agg("lag", "role", "prev_role", n=1),
+                Agg("count", None, "n_turns_10"),
+                Agg("stddev", "turn_idx", "std_turn_10"),
+                Agg("min", "ts", "min_ts_10"),
+                Agg("max", "ts", "max_ts_10"),
+            ],
+            skew=True, skew_quantiles=8, skew_hot_threshold=100_000,
+            # (conv_id, turn_idx) is the unique turn identity: text and
+            # other payloads stay OUT of the Arrow↔Python pipe
+            row_key=["conv_id", "turn_idx"],
+        )
+
+    # each repeat times BUILD + EXECUTE: plan construction runs eager
+    # statistics/cache jobs (skew probe, hot-subset materialization),
+    # and excluding them would under-report the first-run cost. Repeat
+    # 2's build hits the bounded persist cache — best-of-N is the
+    # steady-state repeated-backfill number.
     best = float("inf")
     for _ in range(REPEATS):
         t0 = time.time()
-        job.write.format("noop").mode("overwrite").save()
+        build().write.format("noop").mode("overwrite").save()
         best = min(best, time.time() - t0)
 
     print(json.dumps({
