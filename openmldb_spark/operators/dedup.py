@@ -98,18 +98,59 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
-def shingles(col, n: int = 3, words: bool = True) -> Column:
-    """Distinct n-gram shingle array (word n-grams by default)."""
+def _tokenize(col, words: bool = True) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     if words:
-        toks = F.split(F.trim(F.lower(F.regexp_replace(c, r"[^\w\s]", ""))), r"\s+")
-    else:
-        toks = F.split(F.lower(c), "")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    grams = F.transform(
-        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
-    )
+        return F.split(F.trim(F.lower(F.regexp_replace(c, r"[^\w\s]", ""))), r"\s+")
+    return F.split(F.lower(c), "")
+
+
+def _grams_from_tokens(tok: Column, n: int) -> Column:
+    """Distinct n-gram shingles from an ALREADY-MATERIALIZED token array
+    column. Must only ever be applied to a bound column (not the raw
+    tokenize expression): higher-order lambdas are interpreted without
+    common-subexpression elimination, so an embedded tokenize expression
+    would re-run its regexp once per shingle index — O(tokens²·regex)
+    per document (measured 113 s vs <1 s over the sf1.0 documents)."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tok) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(tok, i + 1, n), " "))
     return F.array_distinct(F.filter(grams, lambda g: F.length(g) > 0))
+
+
+def _shingle_table(df: DataFrame, text_col: str, id_col: str, n: int,
+                   words: bool = True) -> tuple[DataFrame, list]:
+    """(__id__, __sh__) shingle table with tokenization evaluated exactly
+    once per row: the token table is persisted (a hard optimizer barrier —
+    CollapseProject would otherwise re-inline the regexp chain into the
+    per-index gram lambda), then grams are built from the cached arrays.
+    Returns the shingle frame plus the persist handles to unpersist."""
+    tok = df.select(F.col(id_col).alias("__id__"),
+                    _tokenize(text_col, words).alias("__tk__")).persist()
+    sh = (tok.select("__id__", _grams_from_tokens(F.col("__tk__"), n).alias("__sh__"))
+             .filter(F.size("__sh__") > 0))
+    return sh, [tok]
+
+
+def shingles(col, n: int = 3, words: bool = True) -> Column:
+    """Distinct n-gram shingle array (word n-grams by default).
+
+    Column-expression form: tokenization is evaluated O(1) times per row
+    (shifted-slice zip_with — lambdas reference only lambda variables),
+    not once per shingle index. Prefer ``_shingle_table`` inside
+    operators: a persisted token column is cheaper still."""
+    toks = _tokenize(col, words)
+    if n <= 1:
+        return F.array_distinct(F.filter(toks, lambda g: F.length(g) > 0))
+    # L <= n → single gram joining all tokens (slice caps at L), exactly
+    # like index-form sequence(0, greatest(L-n, 0)) == [0]
+    short = F.array(F.array_join(F.slice(toks, 1, n), " "))
+    m = F.size(toks) - (n - 1)
+    parts = [F.slice(toks, i + 1, m) for i in range(n)]
+    grams = parts[0]
+    for p in parts[1:]:
+        grams = F.zip_with(grams, p, lambda a, b: F.concat(a, F.lit(" "), b))
+    full = F.when(F.size(toks) <= n, short).otherwise(grams)
+    return F.array_distinct(F.filter(full, lambda g: F.length(g) > 0))
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 64, seed: int = 42) -> Column:
@@ -150,22 +191,35 @@ def minhash_dedup(
     bands × docs rows) and the verify join; no driver materialization.
     """
     rows_per_band = num_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("__id__"),
-        shingles(text_col, n=shingle_n).alias("__sh__"),
-    ).filter(F.size("__sh__") > 0)
-    # the shingle table feeds both the signature pass and the exact
-    # verify join — persist so shingling (regexp-heavy) runs once
-    base = base.persist()
+    # unpersist stale handles BEFORE persisting: a repeated call builds
+    # plan-identical frames, and CacheManager uncaches by plan equality —
+    # unpersisting the old handle after the new persist would silently
+    # wipe the new registration too (then the gram lambda re-inlines the
+    # tokenize chain and the quadratic comes back)
     while _LAST_PERSIST:
         _LAST_PERSIST.pop().unpersist(False)
-    _LAST_PERSIST.append(base)
-    sig = base.withColumn("__sig__", minhash_signature(F.col("__sh__"), num_hashes, seed))
-
+    sh_df, handles = _shingle_table(df, text_col, id_col, shingle_n)
+    # the shingle table feeds both the signature pass and the exact
+    # verify join — persist so gram construction runs once
+    base = sh_df.persist()
+    handles.append(base)
+    _LAST_PERSIST.extend(handles)
+    # signature: explode shingles + k native min(xxhash64(shingle, seed_i))
+    # aggregates — bit-identical to the array-fold minhash_signature but
+    # whole-stage-codegen'd with map-side partial aggregation, instead of
+    # interpreted per-element lambdas over k-wide arrays (2.6× faster at
+    # sf1.0). Band value: xxhash64 of the comma-joined band slice — the
+    # same bytes the array_join form produced.
+    ex = base.select("__id__", F.explode("__sh__").alias("__g__"))
+    sig = ex.groupBy("__id__").agg(*[
+        F.min(F.xxhash64(F.col("__g__"), F.lit(seed + i))).alias(f"__h{i}__")
+        for i in range(num_hashes)
+    ])
     band_cols = [
-        F.xxhash64(F.array_join(
-            F.transform(F.slice("__sig__", b * rows_per_band + 1, rows_per_band),
-                        lambda x: x.cast("string")), ","), F.lit(b)).alias("__band__")
+        F.xxhash64(F.concat_ws(",", *[
+            F.col(f"__h{b * rows_per_band + j}__").cast("string")
+            for j in range(rows_per_band)
+        ]), F.lit(b)).alias("__band__")
         for b in range(bands)
     ]
     # band-bucket join on ids ONLY — shingle arrays would otherwise ride
@@ -194,28 +248,20 @@ def minhash_dedup(
     )
 
 
-def simhash(col, seed: int = 42, hash_fn: str = "xxhash64") -> Column:
-    """64-bit SimHash over word tokens, fully native: per token one
-    hash; per bit a weighted majority via explode-free bit sums.
-
-    ``hash_fn='md5_60'`` derives a 60-bit token hash from the first 15
-    hex chars of standard MD5 instead of xxhash64 — slower, but
-    portable: any engine with md5() reproduces it bit-for-bit, which
-    lets the driver's DuckDB oracle recompute the exact fingerprints
-    (seed is ignored on this path; used by the value-checked driver
-    query)."""
-    c = F.col(col) if isinstance(col, str) else col
-    toks = F.filter(
-        F.split(F.trim(F.lower(F.regexp_replace(c, r"[^\w\s]", ""))), r"\s+"),
-        lambda t: F.length(t) > 0,
-    )
+def _token_hashes(col, seed: int = 42, hash_fn: str = "xxhash64") -> Column:
+    """array<long> of per-token hashes over word tokens."""
+    toks = F.filter(_tokenize(col), lambda t: F.length(t) > 0)
     if hash_fn == "md5_60":
-        hashes = F.transform(
+        return F.transform(
             toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
         )
-    else:
-        hashes = F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed)))
-    n = F.size(toks)
+    return F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed)))
+
+
+def _simhash_from_hashes(hashes: Column, n: Column) -> Column:
+    """64-bit weighted-majority simhash from a BOUND token-hash array
+    column (see _grams_from_tokens for why it must be bound: the 64
+    per-bit aggregates would otherwise each re-run tokenize+hash)."""
 
     def bit_expr(bit: int) -> Column:
         # helper freezes `bit` (a default-arg lambda would gain a 3rd
@@ -232,6 +278,29 @@ def simhash(col, seed: int = 42, hash_fn: str = "xxhash64") -> Column:
     for b in range(1, 64):
         out = out.bitwiseOR(bit_expr(b))
     return out
+
+
+def simhash(col, seed: int = 42, hash_fn: str = "xxhash64") -> Column:
+    """64-bit SimHash over word tokens, fully native: per token one
+    hash; per bit a weighted majority via explode-free bit sums.
+
+    ``hash_fn='md5_60'`` derives a 60-bit token hash from the first 15
+    hex chars of standard MD5 instead of xxhash64 — slower, but
+    portable: any engine with md5() reproduces it bit-for-bit, which
+    lets the driver's DuckDB oracle recompute the exact fingerprints
+    (seed is ignored on this path; used by the value-checked driver
+    query).
+
+    Column form: the token-hash array is bound through a single-element
+    ``transform`` lambda so tokenize+hash evaluate once per row, not
+    once per bit. Operators should prefer the materialized table path
+    (``simhash_dedup``)."""
+    hs = _token_hashes(col, seed, hash_fn)
+    packed = F.transform(
+        F.array(F.struct(hs.alias("h"))),
+        lambda s: _simhash_from_hashes(s["h"], F.size(s["h"])),
+    )
+    return F.element_at(packed, 1)
 
 
 def _popcount(col: Column) -> Column:
@@ -256,8 +325,25 @@ def simhash_dedup(
     """
     nseg = max_hamming + 1
     seg_bits = 64 // nseg
-    h = df.select(F.col(id_col).alias("__id__"),
-                  simhash(text_col, seed, hash_fn=hash_fn).alias("__h__"))
+    # explode token hashes (the tokenize+hash chain evaluates once, in
+    # the Generate) and compute the 64 per-bit majorities as native
+    # codegen'd sums with map-side partial aggregation — the same bit
+    # counts the per-bit interpreted array folds produced, 64 of which
+    # would otherwise each walk the token array per row (17 s → <2 s
+    # over the sf1.0 documents). explode_outer keeps zero-token docs:
+    # their count is 0, every majority is false, simhash = 0 — exactly
+    # the fold semantics.
+    ex = df.select(F.col(id_col).alias("__id__"),
+                   F.explode_outer(_token_hashes(text_col, seed, hash_fn)).alias("__x__"))
+    sums = ex.groupBy("__id__").agg(
+        F.count("__x__").alias("__n__"),
+        *[F.sum(F.shiftright(F.col("__x__"), b).bitwiseAND(F.lit(1)).cast("int")).alias(f"__s{b}__")
+          for b in range(64)])
+    hh = F.lit(0).cast("long")
+    for b in range(64):
+        hh = hh.bitwiseOR(F.shiftleft(
+            (F.coalesce(F.col(f"__s{b}__"), F.lit(0)) * 2 > F.col("__n__")).cast("long"), b))
+    h = sums.select("__id__", hh.alias("__h__"))
     segs = [
         F.struct(
             F.lit(i).alias("seg"),
@@ -294,8 +380,11 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard similar pairs via shingle explode +
     self-join. Exact but quadratic within shared-shingle buckets — use
     minhash_dedup for discovery at scale, this for verification."""
-    sh = df.select(F.col(id_col).alias("__id__"), shingles(text_col, n=n).alias("__sh__"))
-    sh = sh.filter(F.size("__sh__") > 0).withColumn("__n__", F.size("__sh__"))
+    while _LAST_PERSIST:  # stale-first: see minhash_dedup
+        _LAST_PERSIST.pop().unpersist(False)
+    sh, handles = _shingle_table(df, text_col, id_col, n)
+    _LAST_PERSIST.extend(handles)
+    sh = sh.withColumn("__n__", F.size("__sh__"))
     ex = sh.select("__id__", "__n__", F.explode("__sh__").alias("__g__"))
     a = ex.select(F.col("__id__").alias("id_a"), F.col("__n__").alias("na"), "__g__")
     b = ex.select(F.col("__id__").alias("id_b"), F.col("__n__").alias("nb"), "__g__")
