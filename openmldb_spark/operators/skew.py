@@ -155,7 +155,10 @@ def window_agg_skewed(
             # codegen) is strictly better. With ``key_stats`` supplied
             # the probe is a filter on the cached tiny table.
             if counts is None:
-                counts = key_counts(df, keys, cache=False)
+                # cache=True: the same tiny table is re-read below for
+                # hot_rows and hot_keys — uncached it would re-run the
+                # full per-key groupBy scan up to three times (ADVICE r5)
+                counts = key_counts(df, keys, cache=True)
             n_hot = (counts.filter(F.col("__n__") >= hot_threshold)
                      .limit(1).count())
             if n_hot == 0:
@@ -242,9 +245,15 @@ def window_agg_skewed(
     #   keep the single-pass lazy plan (measured: the eager plan is
     #   ~2x flagship latency at 660k rows, BENCH.md r5).
     hot_rows = None
-    if counts is not None and not union:
+    if counts is not None:
+        # with union, counts covers the primary side only — union tables
+        # are comparable in practice, so the primary-side estimate still
+        # picks the right regime (ADVICE r5: without it every union call
+        # paid the eager BIG path even on tiny inputs)
         hot_rows = (counts.filter(F.col("__n__") >= hot_threshold)
                     .agg(F.sum("__n__")).collect()[0][0]) or 0
+        if union:
+            hot_rows *= 1 + len(union)
     big = hot_rows is None or hot_rows >= 2_000_000
     hot = tagged.filter(F.col("__qs__").isNotNull())
     if big:
@@ -281,8 +290,16 @@ def window_agg_skewed(
 
         max_lag = max((a.n for a in aggs if a.func in ("lag", "at")), default=0)
         n_rows = max(int(spec.preceding), max_lag)
+        from openmldb_spark.operators.window import _UNION as _U
+
+        # exact reverse of kernel buffer order (order, union-first,
+        # tiebreak): at equal order keys union rows buffer BEFORE
+        # primary rows, so ranked newest-first they come AFTER — without
+        # the (-union) desc term the n-rows context suffix kept the
+        # wrong rows on same-ts union data (ADVICE r5, 4/240 rows wrong)
         wdesc = W.partitionBy(*keys, _BUCKET).orderBy(
-            F.col("__oms__").desc(), *[F.col(c).desc() for c in spec.tiebreak]
+            F.col("__oms__").desc(), (-F.col(_U)).desc(),
+            *[F.col(c).desc() for c in spec.tiebreak]
         )
         # ONE ranked window over the cached hot subset, then persist
         # just the per-bucket context suffix (≤ n_rows × buckets ×

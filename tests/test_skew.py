@@ -64,6 +64,32 @@ def test_skewed_with_union(spark, transcripts, archive):
         assert np.allclose(pn, sn, equal_nan=True), f"union col {c}"
 
 
+def test_skewed_union_same_ts_rows_frame(spark, transcripts):
+    """ROWS frame + WINDOW UNION with union rows at EXACTLY the primary
+    rows' timestamps: the salted context-suffix ranking must be the
+    exact reverse of buffer order (union rows buffer BEFORE primary at
+    equal order keys), or the kept n-rows suffix diverges from the
+    kernel (ADVICE r5: 4/240 rows wrong before the (-union) desc term —
+    the +100000 tiebreak makes the wrong ordering visible)."""
+    from pyspark.sql import functions as F
+
+    spec = WindowSpec(["conv_id"], "ts", "rows", 7, tiebreak=["turn_idx"])
+    archive_same_ts = transcripts.withColumn(
+        "turn_idx", F.col("turn_idx") + 100000)
+    plain = window_agg(
+        transcripts, spec, AGGS, union=[archive_same_ts], impl="kernel").toPandas()
+    salted = window_agg_skewed(
+        transcripts, spec, AGGS, quantiles=3, hot_threshold=50,
+        union=[archive_same_ts]).toPandas()
+    cols = [a.name for a in AGGS]
+    p, s = _norm(plain, cols), _norm(salted, cols)
+    assert len(p) == len(s)
+    for c in cols:
+        pn = pd.to_numeric(p[c], errors="coerce").astype(float).to_numpy()
+        sn = pd.to_numeric(s[c], errors="coerce").astype(float).to_numpy()
+        assert np.allclose(pn, sn, equal_nan=True), f"same-ts union col {c}"
+
+
 def test_salting_actually_splits(spark, transcripts):
     """The hot conversation must land in >1 bucket."""
     from openmldb_spark.operators.skew import _BUCKET, _order_ms_expr
