@@ -742,10 +742,29 @@ def _native_window_agg(df: DataFrame, spec: WindowSpec, aggs: list[Agg]) -> Data
         cnt = F.count(F.lit(1)).over(w)
         return out.withColumn(a.name, (cnt - rep).cast("long")).drop(dcol)
 
+    # plan choice for small-frame dc is SIZE-ADAPTIVE: the lag-chain
+    # spends ~2n window functions per row regardless of data size — it
+    # wins when collect_list's O(frame) per-row allocations become a GC
+    # storm (measured 4185 → 2123 task-s at 42M rows, BENCH.md r5) but
+    # LOSES ~2.2× task-sec on sub-million-row inputs where allocation
+    # pressure is trivial (request_mode 6.9 → 16 task-s, the r5 driver
+    # regression adjudicated in OPTIMIZATION_r06.md). Catalyst's size
+    # estimate picks the regime; threshold overridable for clusters.
+    prefer_dc_lag = True
+    if small_dc and any(a.func == "distinct_count" for a in aggs):
+        import os as _os
+
+        _lag_min = int(_os.environ.get("OMLDB_DC_LAG_MIN_BYTES", str(1 << 30)))
+        try:
+            est = int(str(df._jdf.queryExecution().optimizedPlan()
+                          .stats().sizeInBytes()))
+            prefer_dc_lag = est >= _lag_min
+        except Exception:  # noqa: BLE001 — no stats: keep the scale-safe plan
+            pass
     for a in aggs:
         if a.func == "distinct_count":
             if small_dc:
-                fast = _dc_lag_plan(out, a)
+                fast = _dc_lag_plan(out, a) if prefer_dc_lag else None
                 if fast is not None:
                     out = fast
                     continue
@@ -1469,6 +1488,257 @@ def _eval_cate_vec(agg: Agg, pdf: pd.DataFrame, lo, seg_hi, inc_cur,
     return out
 
 
+# ---------------------------------------------------------------------------
+# dense vectorized frame evaluation (prefix-sum differences per category)
+# ---------------------------------------------------------------------------
+#
+# Frames are contiguous monotone buffer segments [lo, seg_hi], so any
+# decomposable per-category statistic over a frame is a difference of two
+# prefix sums — O(ncat × n) TOTAL instead of O(frame) numpy calls per
+# emitted row. The per-row loops above cost ~30 µs/row at 1000-row
+# frames (slice + bincount + flatnonzero + Python string build per row —
+# profiled 30 s single-threaded over the sf1.0 events); the dense path
+# replaces them with ncat vector passes plus vectorized '%f'/'%d'
+# formatting. Gated: seg_mask-free routes only, and the (ncat × rows)
+# matrix must stay under a memory budget — everything else falls back to
+# the loop evaluators, which remain the semantics reference.
+
+_DENSE_CELL_BUDGET = 8_000_000
+
+
+def _win_prefix_diff(ind: np.ndarray, lo_e: np.ndarray, hi1_e: np.ndarray) -> np.ndarray:
+    """Window aggregate of ``ind`` over [lo, hi1) per emitted row via a
+    length-(n+1) prefix array; empty windows (hi1 <= lo) yield 0."""
+    p = np.zeros(len(ind) + 1, dtype=ind.dtype if ind.dtype == np.float64 else np.int64)
+    np.cumsum(ind, out=p[1:])
+    return p[np.maximum(hi1_e, lo_e)] - p[lo_e]
+
+
+def _cat_matrices(codes: np.ndarray, ncat: int, contrib: np.ndarray,
+                  lo_e: np.ndarray, hi1_e: np.ndarray,
+                  vals: np.ndarray | None = None):
+    """(counts, sums) per (emitted row, category) as dense matrices."""
+    n_e = len(lo_e)
+    cnt = np.empty((n_e, ncat), dtype=np.int64)
+    sums = np.empty((n_e, ncat), dtype=np.float64) if vals is not None else None
+    for c in range(ncat):
+        ind = (codes == c) & contrib
+        cnt[:, c] = _win_prefix_diff(ind.astype(np.int64), lo_e, hi1_e)
+        if vals is not None:
+            sums[:, c] = _win_prefix_diff(np.where(ind, vals, 0.0), lo_e, hi1_e)
+    return cnt, sums
+
+
+def _add_current(mat, rows_mask: np.ndarray, codes_e: np.ndarray, add=None):
+    """+1 (or +value) to each emitted row's own category cell."""
+    r = np.flatnonzero(rows_mask)
+    if len(r):
+        mat[r, codes_e[r]] += 1 if add is None else add[r]
+
+
+def _pieces_int(key: str, col: np.ndarray) -> np.ndarray:
+    """'key:<int>' piece per row via a value-table fancy index (counts
+    are small ints, so str(int) renders once per VALUE, not per row)."""
+    mx = int(col.max()) if len(col) else 0
+    tab = np.empty(mx + 1, dtype=object)
+    for i in range(mx + 1):
+        tab[i] = f"{key}:{i}"
+    return tab[np.maximum(col, 0)]
+
+
+def _pieces_float(key: str, col: np.ndarray) -> np.ndarray:
+    """'key:<%f>' piece per row — one C-level printf pass (identical
+    bytes to the loop evaluators' f'{v:f}')."""
+    return np.char.mod(key.replace("%", "%%") + ":%f", col)
+
+
+def _join_cat_strings(order: list, present: np.ndarray, pieces: dict,
+                      limit: int | None = None) -> np.ndarray:
+    """Row-wise ','-join of per-category piece strings over ``order``,
+    skipping absent categories; ``limit`` keeps the first n present.
+    The join is one Arrow binary_join_element_wise(null-skip) call —
+    np.char.add chains re-copy ever-wider unicode buffers per category
+    and were as slow as the per-row loops they replaced."""
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+
+    n_e = present.shape[0]
+    include = []
+    taken = np.zeros(n_e, dtype=np.int64) if limit is not None else None
+    for c in order:
+        inc = present[:, c]
+        if limit is not None:
+            inc = inc & (taken < limit)
+            taken += inc
+        include.append(inc)
+    if len(order) == 1:
+        return np.where(include[0], pieces[order[0]], "").astype(object)
+    # join only rows with >= 1 present piece (all-null rows are dropped
+    # by pyarrow's skip join — observed on 16.1.0 — so they are handled
+    # explicitly), then scatter back over '' defaults
+    any_rows = np.flatnonzero(np.logical_or.reduce(include))
+    res = np.full(n_e, "", dtype=object)
+    if not len(any_rows):
+        return res
+    arrs = [
+        pa.array(np.where(inc[any_rows], np.asarray(pieces[c], dtype=object)[any_rows],
+                          None), type=pa.string())
+        for c, inc in zip(order, include)
+    ]
+    j = _pc.binary_join_element_wise(*arrs, ",", null_handling="skip")
+    res[any_rows] = j.to_numpy(zero_copy_only=False)
+    return res
+
+
+def _eval_cate_dense(agg: Agg, pdf: pd.DataFrame, lo, seg_hi, inc_cur,
+                     emit_pos: np.ndarray) -> np.ndarray | None:
+    """Dense {count,sum,avg}_cate[_where]; None → caller falls back."""
+    fn = agg.func
+    base = fn[: fn.index("_cate")]
+    if base not in ("count", "sum", "avg"):
+        return None
+    codes, cats, cat_order, vals, ok, col_is_float = _cate_frame_inputs(agg, pdf)
+    ncat = len(cats)
+    if ncat == 0 or ncat * max(len(emit_pos), 1) > _DENSE_CELL_BUDGET:
+        return None
+    cond = _bool_mask(pdf[agg.cond]) if agg.cond is not None else None
+    contrib = ok if cond is None else (ok & cond)
+    key_str = [_fmt_scalar(c) for c in cats]
+    lo_e = lo[emit_pos]
+    hi1_e = seg_hi[emit_pos] + 1
+    need_vals = base in ("sum", "avg")
+    cnt, sums = _cat_matrices(codes, ncat, contrib, lo_e, hi1_e,
+                              vals if need_vals else None)
+    add_cur = inc_cur[emit_pos] & contrib[emit_pos]
+    codes_e = codes[emit_pos]
+    _add_current(cnt, add_cur, codes_e)
+    if need_vals:
+        _add_current(sums, add_cur, codes_e, add=vals[emit_pos])
+    present = cnt > 0
+    if base == "count":
+        pieces = {c: _pieces_int(key_str[c], cnt[:, c]) for c in cat_order}
+    elif base == "avg":
+        with np.errstate(invalid="ignore", divide="ignore"):
+            av = sums / np.maximum(cnt, 1)
+        pieces = {c: _pieces_float(key_str[c], av[:, c]) for c in cat_order}
+    else:  # sum
+        if col_is_float:
+            pieces = {c: _pieces_float(key_str[c], sums[:, c]) for c in cat_order}
+        else:
+            # int-column sums render via str(int(v)); non-integral sums
+            # (can't arise from int inputs) fall back to the loop
+            if not np.all(sums[present] == np.floor(sums[present])):
+                return None
+            si = sums.astype(np.int64)
+            pieces = {c: np.char.mod(key_str[c].replace("%", "%%") + ":%d", si[:, c])
+                      for c in cat_order}
+    res = _join_cat_strings(cat_order, present, pieces)
+    out = np.full(len(pdf), None, dtype=object)
+    vals_out = res.astype(object)
+    vals_out[res == ""] = None
+    out[emit_pos] = vals_out
+    return out
+
+
+def _eval_topn_cate_dense(agg: Agg, pdf: pd.DataFrame, lo, seg_hi, inc_cur,
+                          emit_pos: np.ndarray) -> np.ndarray | None:
+    """Dense by-key top_n_key_*_cate[_where] for decomposable bases;
+    None → caller falls back (by-value ordering, min/max, INW masks)."""
+    m = _TOPN_CATE_RE.match(agg.func)
+    by_key = m.group(1) == "key"
+    base = m.group(2)
+    if not by_key or base not in ("count", "sum", "avg", "ratio"):
+        return None
+    codes, cats, cat_order, vals, ok, col_is_float = _cate_frame_inputs(agg, pdf)
+    ncat = len(cats)
+    if ncat == 0 or ncat * max(len(emit_pos), 1) > _DENSE_CELL_BUDGET:
+        return None
+    cond = _bool_mask(pdf[agg.cond]) if agg.cond is not None else None
+    contrib = ok if cond is None else (ok & cond)
+    key_str = [_fmt_scalar(c) for c in cats]
+    desc_order = list(reversed(cat_order))
+    lo_e = lo[emit_pos]
+    hi1_e = seg_hi[emit_pos] + 1
+    codes_e = codes[emit_pos]
+    need_vals = base in ("sum", "avg")
+    cnt, sums = _cat_matrices(codes, ncat, contrib, lo_e, hi1_e,
+                              vals if need_vals else None)
+    add_cur = inc_cur[emit_pos] & contrib[emit_pos]
+    _add_current(cnt, add_cur, codes_e)
+    if need_vals:
+        _add_current(sums, add_cur, codes_e, add=vals[emit_pos])
+    if base == "ratio":
+        call, _ = _cat_matrices(codes, ncat, ok, lo_e, hi1_e)
+        _add_current(call, inc_cur[emit_pos] & ok[emit_pos], codes_e)
+        present = call > 0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            rat = cnt / np.maximum(call, 1)
+        pieces = {c: _pieces_float(key_str[c], rat[:, c]) for c in desc_order}
+    else:
+        present = cnt > 0
+        if base == "count":
+            pieces = {c: _pieces_int(key_str[c], cnt[:, c]) for c in desc_order}
+        elif base == "avg":
+            with np.errstate(invalid="ignore", divide="ignore"):
+                av = sums / np.maximum(cnt, 1)
+            pieces = {c: _pieces_float(key_str[c], av[:, c]) for c in desc_order}
+        else:  # sum — fmt_val: %f for float columns, str(int) otherwise
+            if col_is_float:
+                pieces = {c: _pieces_float(key_str[c], sums[:, c]) for c in desc_order}
+            else:
+                if not np.all(sums[present] == np.floor(sums[present])):
+                    return None
+                si = sums.astype(np.int64)
+                pieces = {c: np.char.mod(key_str[c].replace("%", "%%") + ":%d", si[:, c])
+                          for c in desc_order}
+    topn = int(agg.n)
+    res = _join_cat_strings(desc_order, present, pieces,
+                            limit=topn if topn >= 0 else None)
+    out = np.full(len(pdf), None, dtype=object)
+    out[emit_pos] = res.astype(object)  # empty frames render '' exactly
+    return out
+
+
+def _eval_sliding_dense(agg: Agg, pdf: pd.DataFrame, lo, seg_hi, inc_cur,
+                        emit_pos: np.ndarray) -> np.ndarray | None:
+    """Dense entropy / top1_ratio; None → caller falls back (ew_avg keeps
+    its exact-order decay loop)."""
+    fn = agg.func
+    if fn not in ("entropy", "top1_ratio"):
+        return None
+    codes, _ = pd.factorize(pdf[agg.col], use_na_sentinel=True)
+    ncat = int(codes.max()) + 1 if len(codes) else 0
+    if ncat <= 0 or ncat * max(len(emit_pos), 1) > _DENSE_CELL_BUDGET:
+        return None
+    valid = codes >= 0
+    lo_e = lo[emit_pos]
+    hi1_e = seg_hi[emit_pos] + 1
+    cnt, _ = _cat_matrices(codes, ncat, valid, lo_e, hi1_e)
+    add_cur = inc_cur[emit_pos] & valid[emit_pos]
+    _add_current(cnt, add_cur, codes[emit_pos])
+    m = cnt.sum(axis=1)
+    out = np.full(len(pdf), None, dtype=object)
+    if fn == "entropy":
+        table = np.zeros(int(cnt.max()) + 1)
+        cs = np.arange(1, len(table))
+        table[1:] = cs * np.log2(cs)
+        S = np.take(table, cnt).sum(axis=1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ent = np.log2(m) - S / m
+        ent = ent + 0.0  # normalize -0.0 like the loop path
+        vals_out = ent.astype(object)
+        vals_out[m == 0] = None
+        out[emit_pos] = vals_out
+    else:  # top1_ratio
+        mc = cnt.max(axis=1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ratio = mc / m
+        vals_out = ratio.astype(object)
+        vals_out[m == 0] = 0.0
+        out[emit_pos] = vals_out
+    return out
+
+
 def _eval_top_vec(agg: Agg, pdf: pd.DataFrame, lo, seg_hi, inc_cur,
                   emit_pos: np.ndarray) -> np.ndarray:
     """``top`` / ``topn_frequency`` — vectorized per-frame bincounts
@@ -2142,10 +2412,16 @@ def make_kernel(spec: WindowSpec, aggs: list[Agg], out_cols: list[str], result_f
                 res[a.name] = _eval_nth_where(a, pdf, lo, seg_hi, inc_cur)
             elif _TOPN_CATE_RE.match(fn):
                 emit_pos = np.flatnonzero(emit)
-                res[a.name] = _eval_topn_cate(a, pdf, lo, seg_hi, inc_cur, emit_pos)
+                r = (_eval_topn_cate_dense(a, pdf, lo, seg_hi, inc_cur, emit_pos)
+                     if len(emit_pos) else None)
+                res[a.name] = r if r is not None else \
+                    _eval_topn_cate(a, pdf, lo, seg_hi, inc_cur, emit_pos)
             elif fn in ("entropy", "ew_avg", "top1_ratio"):
                 emit_pos = np.flatnonzero(emit)
-                res[a.name] = _eval_sliding(a, pdf, lo, seg_hi, inc_cur, emit_pos, None)
+                r = (_eval_sliding_dense(a, pdf, lo, seg_hi, inc_cur, emit_pos)
+                     if len(emit_pos) else None)
+                res[a.name] = r if r is not None else \
+                    _eval_sliding(a, pdf, lo, seg_hi, inc_cur, emit_pos, None)
             elif fn in _ROLLING or fn in _WHERE:
                 import datetime as _dtmod
 
@@ -2206,8 +2482,14 @@ def make_kernel(spec: WindowSpec, aggs: list[Agg], out_cols: list[str], result_f
                 res[a.name] = _eval_distinct(v, lo, seg_hi, inc_cur)
             elif fn in _CATE or fn in _CATE_WHERE:
                 emit_pos = np.flatnonzero(emit)
-                res[a.name] = _eval_cate_vec(a, pdf, lo, seg_hi, inc_cur,
-                                             emit_pos, seg_mask)
+                # seg_mask on this branch is exactly the *_where cond
+                # mask (INW has its own route); dense applies agg.cond
+                # itself, so it is eligible either way
+                r = (_eval_cate_dense(a, pdf, lo, seg_hi, inc_cur, emit_pos)
+                     if len(emit_pos) else None)
+                res[a.name] = r if r is not None else \
+                    _eval_cate_vec(a, pdf, lo, seg_hi, inc_cur,
+                                   emit_pos, seg_mask)
             elif fn in _POSITIONAL:
                 res[a.name] = _eval_positional(a, pdf, lo, seg_hi, inc_cur,
                                                 sok, spec_b.exclude_current_time,
