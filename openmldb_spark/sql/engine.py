@@ -30,6 +30,7 @@ tables are rewritten to the engine's flattened/prefixed names.
 
 from __future__ import annotations
 
+import hashlib
 import re
 from dataclasses import dataclass, field, replace
 
@@ -217,7 +218,13 @@ def _extract_over_calls(item: str, win_names: set[str], implicit: str | None = N
         if mo and mo.group(1).lower() in win_names:
             wname = mo.group(1).lower()
             if is_agg:
-                ph = f"__wcall{len(calls)}_{abs(hash((canon, args_txt, wname))) % 10_000}__"
+                # stable wide digest: identical calls intentionally share
+                # a placeholder (computed once, aliased twice); DIFFERENT
+                # calls must never collide — hash() % 10_000 collided at
+                # birthday rates under per-process hash randomization
+                # (the AMBIGUOUS_REFERENCE test_ads flake)
+                ph = ("__wcall" + str(len(calls)) + "_" + hashlib.md5(
+                    repr((canon, args_txt, wname)).encode()).hexdigest()[:12] + "__")
                 calls.append((canon, args_txt, wname, ph,
                               f"{fname}({args_txt})over {mo.group(1)}", "explicit"))
                 out.append(f"`{ph}`")
@@ -227,7 +234,8 @@ def _extract_over_calls(item: str, win_names: set[str], implicit: str | None = N
                 out.append(f"({inner})" if canon == "identity" else f"{fname}({inner})")
             i = j + mo.end()
         elif implicit and is_agg:
-            ph = f"__wcall{len(calls)}_{abs(hash((canon, args_txt, implicit))) % 10_000}__"
+            ph = ("__wcall" + str(len(calls)) + "_" + hashlib.md5(
+                repr((canon, args_txt, implicit)).encode()).hexdigest()[:12] + "__")
             calls.append((canon, args_txt, implicit, ph, f"{fname}({args_txt})", "implicit"))
             out.append(f"`{ph}`")
             i = j
