@@ -197,15 +197,92 @@ def _encode(payload: str, tag: str) -> bytes:
     raise ValueError(f"unknown hash64 type tag {tag!r}")
 
 
+# ---------------------------------------------------------------------------
+# vectorized fixed-width short path (VERDICT r5 #5): every ≤16-byte
+# input hits Fingerprint64's closed-form Len0to16 branch, which for a
+# FIXED width w is a single straight-line uint64 expression — numpy
+# wraps 64-bit arithmetic exactly like the C++ (C modular semantics),
+# so hash64(int/float/bool/ts/date columns) costs no per-row Python.
+# Strings keep the per-row path (variable length).
+# ---------------------------------------------------------------------------
+
+_NK0 = np.uint64(_K0)
+_NK2 = np.uint64(_K2)
+
+
+def _nrot(v: np.ndarray, s: int) -> np.ndarray:
+    return (v >> np.uint64(s)) | (v << np.uint64(64 - s))
+
+
+def _nh16(u: np.ndarray, v: np.ndarray, mul: np.uint64) -> np.ndarray:
+    a = (u ^ v) * mul
+    a ^= a >> np.uint64(47)
+    b = (v ^ a) * mul
+    b ^= b >> np.uint64(47)
+    return b * mul
+
+
+def _np_fingerprint_fixed(vals: pd.Series, tag: str) -> np.ndarray:
+    """Vectorized fingerprint64(_encode(v, tag)) for fixed-width tags;
+    input: the non-null string payloads; output: int64 hashes."""
+    with np.errstate(over="ignore"):
+        if tag in ("i8", "f8"):
+            if tag == "i8":
+                u = vals.astype(np.int64).to_numpy().view(np.uint64)
+            else:
+                # .astype, not to_numeric: pandas' to_numeric parser can be
+                # 1 ulp off Python/numpy float parsing — wrong bits, wrong hash
+                u = vals.astype(np.float64).to_numpy().view(np.uint64)
+            mul = np.uint64((_K2 + 16) & _M)
+            a = u + _NK2
+            c = _nrot(u, 37) * mul + a
+            d = (_nrot(a, 25) + u) * mul
+            return _nh16(c, d, mul).view(np.int64)
+        if tag in ("i4", "f4"):
+            if tag == "i4":
+                u32 = vals.astype(np.int64).to_numpy().astype(np.int32).view(np.uint32)
+            else:
+                u32 = vals.astype(np.float64).to_numpy().astype(np.float32).view(np.uint32)
+            a = u32.astype(np.uint64)
+            mul = np.uint64((_K2 + 8) & _M)
+            return _nh16(np.uint64(4) + (a << np.uint64(3)), a, mul).view(np.int64)
+        if tag == "i2":
+            v16 = vals.astype(np.int64).to_numpy().astype(np.int16).view(np.uint16)
+            y = v16.astype(np.uint64)  # s[0] + (s[1] << 8) IS the le u16
+            hi = (v16 >> np.uint16(8)).astype(np.uint64)
+            z = np.uint64(2) + (hi << np.uint64(2))
+            h = ((y * _NK2) ^ (z * _NK0))
+            h ^= h >> np.uint64(47)
+            return (h * _NK2).view(np.int64)
+        if tag == "i1":
+            b0 = (vals.astype(np.int64).to_numpy()
+                  & np.int64(0xFF)).astype(np.uint64)
+            y = b0 + (b0 << np.uint64(8))
+            z = np.uint64(1) + (b0 << np.uint64(2))
+            h = ((y * _NK2) ^ (z * _NK0))
+            h ^= h >> np.uint64(47)
+            return (h * _NK2).view(np.int64)
+    raise ValueError(f"not a fixed-width tag: {tag!r}")
+
+
+_FIXED_TAGS = frozenset(["i1", "i2", "i4", "i8", "f4", "f8"])
+
+
 def _make_udf():
     from pyspark.sql.types import LongType
 
     @F.pandas_udf(LongType())
     def _hash64_udf(payload: pd.Series, tag: pd.Series) -> pd.Series:
-        out = [None if p is None else fingerprint64(_encode(p, t))
-               for p, t in zip(
-                   payload.astype(object).where(payload.notna(), None), tag)]
-        return pd.Series(out, dtype=object)
+        out = pd.Series(np.full(len(payload), None, dtype=object),
+                        index=payload.index)
+        notna = payload.notna()
+        for t in pd.unique(tag[notna]):
+            m = notna & (tag == t)
+            if t in _FIXED_TAGS:
+                out[m] = _np_fingerprint_fixed(payload[m], t)
+            else:
+                out[m] = [fingerprint64(_encode(p, t)) for p in payload[m]]
+        return out
 
     return _hash64_udf
 
