@@ -124,8 +124,17 @@ def _shingle_table(df: DataFrame, text_col: str, id_col: str, n: int,
     CollapseProject would otherwise re-inline the regexp chain into the
     per-index gram lambda), then grams are built from the cached arrays.
     Returns the shingle frame plus the persist handles to unpersist."""
-    tok = df.select(F.col(id_col).alias("__id__"),
-                    _tokenize(text_col, words).alias("__tk__")).persist()
+    # spread by id hash BEFORE tokenizing: a small parquet scan yields
+    # 1-2 splits, and a persisted table inherits them — every downstream
+    # consumer (signature explode, both verify scans) would then run
+    # 2-wide regardless of core count (measured: the whole shingle+sig
+    # pipeline pinned to 2 tasks at sf1.0). The exchange moves raw text
+    # once; tokenize+gram construction run at full parallelism.
+    npart = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    tok = (df.select(F.col(id_col).alias("__id__"), F.col(text_col).alias("__tx__"))
+             .repartition(npart, "__id__")
+             .select("__id__", _tokenize(F.col("__tx__"), words).alias("__tk__"))
+             .persist())
     sh = (tok.select("__id__", _grams_from_tokens(F.col("__tk__"), n).alias("__sh__"))
              .filter(F.size("__sh__") > 0))
     return sh, [tok]
@@ -333,8 +342,11 @@ def simhash_dedup(
     # over the sf1.0 documents). explode_outer keeps zero-token docs:
     # their count is 0, every majority is false, simhash = 0 — exactly
     # the fold semantics.
-    ex = df.select(F.col(id_col).alias("__id__"),
-                   F.explode_outer(_token_hashes(text_col, seed, hash_fn)).alias("__x__"))
+    npart = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    ex = (df.select(F.col(id_col).alias("__id__"), F.col(text_col).alias("__tx__"))
+            .repartition(npart, "__id__")  # don't pin tokenize+hash to the scan's 1-2 splits
+            .select("__id__", F.explode_outer(
+                _token_hashes(F.col("__tx__"), seed, hash_fn)).alias("__x__")))
     sums = ex.groupBy("__id__").agg(
         F.count("__x__").alias("__n__"),
         *[F.sum(F.shiftright(F.col("__x__"), b).bitwiseAND(F.lit(1)).cast("int")).alias(f"__s{b}__")
